@@ -1,0 +1,212 @@
+"""Single-level variational flow solver (``SmoothFlowSOR``).
+
+TPU-native re-implementation of ``OpticalFlow::SmoothFlowSOR``
+(``Code/Parallel/src/OpticalFlow.cpp:242-551``): outer fixed-point
+re-linearization around the warp, inner re-weighting, and an SOR solve of the
+coupled Euler-Lagrange system.
+
+The reference parallelizes SOR "chaotically" — OpenMP splits the *sweep*
+loop across threads which then race on ``du``/``dv``
+(``OpticalFlow.cpp:469-520``); the Serial build does plain lexicographic
+Gauss-Seidel.  Here the sweep is deterministic **red-black SOR**: each
+half-sweep updates one checkerboard color using only the other color's
+values, which vectorizes across the whole image on the VPU and shards across
+chips with a 1-pixel halo.  Red-black converges to the same fixed point as
+lexicographic GS for this 5-point system.
+
+Per-point update (exact arithmetic of ``OpticalFlow.cpp:478-518``):
+
+* neighbor weights: left ``phi[i,j-1]``, right ``phi[i,j]``, up
+  ``phi[i-1,j]``, down ``phi[i,j]`` (missing at borders);
+* ``sigma1 = -alpha * sum(w * du_nbr) + imdxy * dv[o]``
+* ``du[o] = (1-w)du[o] + w (rhs_x - sigma1) / (imdx2 + 0.05 alpha + alpha sum(w))``
+* ``sigma2`` uses the just-updated ``du[o]`` (u-v coupling), then ``dv[o]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bicubic import threshold01, warp_bicubic_ref
+from ..ops.features import get_dxs
+from ..ops.filters import dx_forward, dy_forward
+from ..ops.interp import warp_bilinear
+from ..ops.laplacian import weighted_laplacian
+from ..ops.noise import est_laplacian_noise
+from ..ops.robust import assemble_system, phi_weight, psi_weight
+from ..utils.params import FlowParams, Interpolation, NoiseModel
+
+
+class SorSystem(NamedTuple):
+    """Dense per-pixel coefficients of the coupled SOR system."""
+
+    phi: jnp.ndarray      # smoothness weights (H, W)
+    imdxy: jnp.ndarray    # coupling term (H, W)
+    denom_x: jnp.ndarray  # imdx2 + 0.05*alpha + alpha*coeff (H, W)
+    denom_y: jnp.ndarray  # imdy2 + 0.05*alpha + alpha*coeff (H, W)
+    rhs_x: jnp.ndarray    # -imdtdx - alpha*lap(u) (H, W)
+    rhs_y: jnp.ndarray    # -imdtdy - alpha*lap(v) (H, W)
+
+
+def neighbor_weights(phi: jnp.ndarray):
+    """Border-masked neighbor weights (wl, wr, wu, wd) per the SOR stencil
+    (``OpticalFlow.cpp:482-509``)."""
+    z_col = jnp.zeros_like(phi[..., :, :1])
+    z_row = jnp.zeros_like(phi[..., :1, :])
+    wl = jnp.concatenate([z_col, phi[..., :, :-1]], axis=-1)
+    # Right/down weights are phi at the CURRENT pixel, zeroed on the last
+    # column/row (OpticalFlow.cpp:491,505 read phiData[offset]).
+    wr = jnp.concatenate([phi[..., :, :-1], z_col], axis=-1)
+    wu = jnp.concatenate([z_row, phi[..., :-1, :]], axis=-2)
+    wd = jnp.concatenate([phi[..., :-1, :], z_row], axis=-2)
+    return wl, wr, wu, wd
+
+
+def _neighbor_sum(x, wl, wr, wu, wd):
+    """sum_nbr w_nbr * x[nbr] with zero-padded shifts (border weights are
+    already zero)."""
+    z_col = jnp.zeros_like(x[..., :, :1])
+    z_row = jnp.zeros_like(x[..., :1, :])
+    left = jnp.concatenate([z_col, x[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([x[..., :, 1:], z_col], axis=-1)
+    up = jnp.concatenate([z_row, x[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([x[..., 1:, :], z_row], axis=-2)
+    return wl * left + wr * right + wu * up + wd * down
+
+
+def checkerboard(h: int, w: int, dtype) -> jnp.ndarray:
+    """(H, W) mask: 1 on "red" points ((i + j) even)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return (((i + j) % 2) == 0).astype(dtype)
+
+
+def build_sor_system(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    du: jnp.ndarray,
+    dv: jnp.ndarray,
+    imdx: jnp.ndarray,
+    imdy: jnp.ndarray,
+    imdt: jnp.ndarray,
+    params: FlowParams,
+    lap_para: jnp.ndarray | None = None,
+) -> SorSystem:
+    """Phases 2-4 of the inner loop (``OpticalFlow.cpp:296-459``): flow
+    derivatives, Phi/Psi weights, system assembly, weighted Laplacian, rhs."""
+    t = u.dtype.type
+    alpha = t(params.alpha)
+    uu = u + du
+    vv = v + dv
+    ux, uy = dx_forward(uu), dy_forward(uu)
+    vx, vy = dx_forward(vv), dy_forward(vv)
+    phi = phi_weight(ux, uy, vx, vy, params.varepsilon_phi)
+    psi = psi_weight(
+        imdx, imdy, imdt, du, dv, params.varepsilon_psi, lap_para=lap_para
+    )
+    imdxy, imdx2, imdy2, imdtdx, imdtdy = assemble_system(psi, imdx, imdy, imdt)
+    lap_u = weighted_laplacian(u, phi, compat=params.compat_laplacian_borders)
+    lap_v = weighted_laplacian(v, phi, compat=params.compat_laplacian_borders)
+    rhs_x = -imdtdx - alpha * lap_u
+    rhs_y = -imdtdy - alpha * lap_v
+
+    wl, wr, wu, wd = neighbor_weights(phi)
+    coeff = (wl + wr + wu + wd) * alpha
+    diag = alpha * t(params.diag_reg_scale)
+    denom_x = imdx2 + diag + coeff
+    denom_y = imdy2 + diag + coeff
+    return SorSystem(phi, imdxy, denom_x, denom_y, rhs_x, rhs_y)
+
+
+def sor_solve_jnp(
+    system: SorSystem,
+    n_iterations: int,
+    params: FlowParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Red-black SOR from a zero initial guess (``du.reset()``,
+    ``OpticalFlow.cpp:463-464``), pure-XLA implementation.
+
+    One reference sweep == one (red, black) pair of half-sweeps here.
+    """
+    phi = system.phi
+    h, w = phi.shape[-2], phi.shape[-1]
+    t = phi.dtype.type
+    alpha = t(params.alpha)
+    omega = t(params.omega)
+    wl, wr, wu, wd = neighbor_weights(phi)
+    red = checkerboard(h, w, jnp.bool_)
+
+    du0 = jnp.zeros_like(phi)
+    dv0 = jnp.zeros_like(phi)
+
+    def half_sweep(du, dv, mask):
+        sigma1 = -alpha * _neighbor_sum(du, wl, wr, wu, wd) + system.imdxy * dv
+        du_new = (1 - omega) * du + omega * (system.rhs_x - sigma1) / system.denom_x
+        du = jnp.where(mask, du_new, du)
+        sigma2 = -alpha * _neighbor_sum(dv, wl, wr, wu, wd) + system.imdxy * du
+        dv_new = (1 - omega) * dv + omega * (system.rhs_y - sigma2) / system.denom_y
+        dv = jnp.where(mask, dv_new, dv)
+        return du, dv
+
+    def body(_, carry):
+        du, dv = carry
+        du, dv = half_sweep(du, dv, red)
+        du, dv = half_sweep(du, dv, ~red)
+        return du, dv
+
+    return jax.lax.fori_loop(0, n_iterations, body, (du0, dv0))
+
+
+def smooth_flow_sor(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    warp_im2: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    n_outer: int,
+    n_inner: int,
+    n_sor: int,
+    params: FlowParams,
+    lap_para: jnp.ndarray | None = None,
+):
+    """Full single-level solve (``OpticalFlow.cpp:242-551``).
+
+    ``im1``, ``im2``, ``warp_im2``: feature images ``(C, H, W)``;
+    ``u``, ``v``: flow ``(H, W)``.  Returns updated ``(u, v, warp_im2,
+    lap_para)``.
+    """
+    from .sor_dispatch import sor_solve  # late import to avoid cycle
+
+    track_noise = lap_para is not None
+
+    def outer_body(carry):
+        u, v, warp_im2, lap_para = carry
+        imdx, imdy, imdt = get_dxs(im1, warp_im2)
+        du = jnp.zeros_like(u)
+        dv = jnp.zeros_like(v)
+        for _ in range(n_inner):
+            system = build_sor_system(
+                u, v, du, dv, imdx, imdy, imdt, params,
+                lap_para=lap_para if track_noise else None,
+            )
+            du, dv = sor_solve(system, n_sor, params)
+        u = u + du
+        v = v + dv
+        if params.interpolation == Interpolation.BILINEAR:
+            warp_im2 = warp_bilinear(im1, im2, u, v)
+        else:
+            warp_im2 = threshold01(warp_bicubic_ref(im1, im2, u, v))
+        if track_noise and params.noise_model == NoiseModel.LAPLACIAN:
+            lap_para = est_laplacian_noise(im1, warp_im2).astype(lap_para.dtype)
+        return u, v, warp_im2, lap_para
+
+    carry = (u, v, warp_im2,
+             lap_para if track_noise else jnp.zeros((im1.shape[0],), u.dtype))
+    carry = jax.lax.fori_loop(
+        0, n_outer, lambda _, c: outer_body(c), carry
+    )
+    u, v, warp_im2, lap_para = carry
+    return u, v, warp_im2, (lap_para if track_noise else None)

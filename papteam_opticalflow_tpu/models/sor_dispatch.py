@@ -1,0 +1,32 @@
+"""SOR backend dispatch: fused Pallas kernel on TPU when the level fits in
+VMEM, pure-XLA red-black otherwise."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.params import FlowParams
+from .solver import SorSystem, sor_solve_jnp
+
+
+def _pallas_available() -> bool:
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu"
+
+
+def sor_solve(
+    system: SorSystem, n_iterations: int, params: FlowParams
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if params.use_pallas_sor and params.sor_red_black and _pallas_available():
+        from ..ops.pallas.sor import sor_fits_vmem, sor_solve_pallas
+
+        h, w = system.phi.shape[-2], system.phi.shape[-1]
+        if sor_fits_vmem(h, w, system.phi.dtype):
+            return sor_solve_pallas(system, n_iterations, params)
+    return sor_solve_jnp(system, n_iterations, params)

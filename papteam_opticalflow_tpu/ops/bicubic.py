@@ -1,0 +1,101 @@
+"""Hermite bicubic backward warp.
+
+Reproduces ``Image<T>::warpImageBicubicRef`` (``Code/Parallel/src/Image.h:
+2650-2768``) and its coefficient builder ``BicubicCoeff`` (``:2560-2593``):
+derivative images from the central-difference filter ``[-0.5, 0, 0.5]``
+(clamp boundary), a per-pixel 4x4 Hermite coefficient solve, and
+out-of-bounds targets copied from the reference frame.  The final clamp to
+``[0, 1]`` is ``Image<T>::threshold`` (``Image.h:2090-2108``).
+
+The per-pixel coefficient solve is expressed as two constant 4x4 basis
+matmuls (``a = M G M^T``) over a gathered corner tensor, which XLA lowers to
+fused vector code — no scalar loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .filters import CENTRAL_DIFF_3TAP, correlate1d
+
+# Hermite basis: coefficients a = M @ G @ M^T reproduce the 16 explicit
+# expressions of BicubicCoeff (Image.h:2562-2592) with
+# G = [[f00, f01, fy00, fy01], [f10, f11, fy10, fy11],
+#      [fx00, fx01, fxy00, fxy01], [fx10, fx11, fxy10, fxy11]].
+_HERMITE_M = np.array(
+    [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [-3.0, 3.0, -2.0, -1.0],
+        [2.0, -2.0, 1.0, 1.0],
+    ]
+)
+
+
+def warp_bicubic_ref(
+    ref: jnp.ndarray, im2: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray
+) -> jnp.ndarray:
+    """Bicubic backward warp of ``im2`` by flow ``(vx, vy)``; out-of-bounds
+    targets copy ``ref`` (``Image.h:2687-2768``).
+
+    ``ref``, ``im2``: ``(..., H, W)``; ``vx``, ``vy``: ``(H, W)``.
+    """
+    h, w = im2.shape[-2], im2.shape[-1]
+    dtype = im2.dtype
+
+    imdx = correlate1d(im2, CENTRAL_DIFF_3TAP, axis=-1)
+    imdy = correlate1d(im2, CENTRAL_DIFF_3TAP, axis=-2)
+    imdxdy = correlate1d(imdx, CENTRAL_DIFF_3TAP, axis=-2)
+
+    ftype = dtype if dtype in (jnp.float32, jnp.float64) else jnp.float32
+    j = jnp.arange(w, dtype=ftype)
+    i = jnp.arange(h, dtype=ftype)
+    x = j[None, :] + vx.astype(ftype)
+    y = i[:, None] + vy.astype(ftype)
+    oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
+
+    x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    fx = (x - x0.astype(ftype)).astype(dtype)
+    fy = (y - y0.astype(ftype)).astype(dtype)
+
+    def corners(img):
+        # (..., H, W, 2, 2): last axes index (x corner, y corner).
+        c00 = img[..., y0, x0]
+        c10 = img[..., y0, x1]
+        c01 = img[..., y1, x0]
+        c11 = img[..., y1, x1]
+        return c00, c10, c01, c11
+
+    f00, f10, f01, f11 = corners(im2)
+    gx00, gx10, gx01, gx11 = corners(imdx)
+    gy00, gy10, gy01, gy11 = corners(imdy)
+    gxy00, gxy10, gxy01, gxy11 = corners(imdxdy)
+
+    # G rows: [f(x,.), f_y(x,.)] blocks per the Hermite layout above.
+    g = jnp.stack(
+        [
+            jnp.stack([f00, f01, gy00, gy01], axis=-1),
+            jnp.stack([f10, f11, gy10, gy11], axis=-1),
+            jnp.stack([gx00, gx01, gxy00, gxy01], axis=-1),
+            jnp.stack([gx10, gx11, gxy10, gxy11], axis=-1),
+        ],
+        axis=-2,
+    )
+    m = jnp.asarray(_HERMITE_M, dtype=dtype)
+    a = jnp.einsum("ik,...kl,jl->...ij", m, g, m)
+
+    one = jnp.ones_like(fx)
+    px = jnp.stack([one, fx, fx * fx, fx * fx * fx], axis=-1)
+    py = jnp.stack([one, fy, fy * fy, fy * fy * fy], axis=-1)
+    val = jnp.einsum("...i,...ij,...j->...", px, a, py)
+
+    return jnp.where(oob, ref, val)
+
+
+def threshold01(x: jnp.ndarray) -> jnp.ndarray:
+    """Clamp float image to ``[0, 1]`` (``Image.h:2090-2108``)."""
+    return jnp.clip(x, 0, 1)

@@ -1,0 +1,111 @@
+"""Bilinear sampling, exact-grid resize, and backward warping.
+
+Reproduces, with bit-level care, the reference's
+
+* ``ImageProcessing::BilinearInterpolate`` (``ImageProcessing.h:137-180``) —
+  note it truncates the sample coordinate toward zero (C ``(int)x`` cast, NOT
+  floor) and clamps the fractional part into ``[0, 1]``, then clamps the four
+  corner indices into range (edge replication);
+* ``ImageProcessing::ResizeImage`` (``:213-257``) — the off-spec sampling grid
+  ``x = (j + 1) / ratio - 1`` with destination size ``int(src * ratio)``;
+* ``ImageProcessing::warpImage`` (``:495-520``) — backward warp with
+  out-of-bounds target pixels copied from frame 1.
+
+All functions take channels-first ``(..., H, W)`` arrays and sample on the
+trailing two axes; leading axes broadcast (channels, batch).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def bilinear_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img`` at float coords ``(x, y)`` with the reference's
+    truncation + clamp semantics (``ImageProcessing.h:137-157``).
+
+    ``img``: ``(..., H, W)``; ``x``, ``y``: broadcastable index arrays.
+    Returns ``(..., *x.shape)``.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    dtype = img.dtype
+    xx = jnp.trunc(x)
+    yy = jnp.trunc(y)
+    fx = jnp.clip((x - xx).astype(dtype), 0, 1)
+    fy = jnp.clip((y - yy).astype(dtype), 0, 1)
+    xx = xx.astype(jnp.int32)
+    yy = yy.astype(jnp.int32)
+
+    x0 = jnp.clip(xx, 0, w - 1)
+    x1 = jnp.clip(xx + 1, 0, w - 1)
+    y0 = jnp.clip(yy, 0, h - 1)
+    y1 = jnp.clip(yy + 1, 0, h - 1)
+
+    # Corner weights |1 - m - fx| * |1 - n - fy| for m, n in {0, 1}.
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+
+    v00 = img[..., y0, x0]
+    v10 = img[..., y0, x1]
+    v01 = img[..., y1, x0]
+    v11 = img[..., y1, x1]
+    return v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
+
+
+def resize_shape(src_h: int, src_w: int, ratio: float) -> Tuple[int, int]:
+    """Destination size of the ratio-driven resize: ``int(src * ratio)``
+    with C double-multiply truncation (``ImageProcessing.h:217-218``)."""
+    return int(float(src_h) * ratio), int(float(src_w) * ratio)
+
+
+def resize_to(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
+    """Bilinear resize to explicit dims on the reference grid
+    ``x = (j + 1) / (dst / src) - 1`` (``ImageProcessing.h:238-257``)."""
+    src_h, src_w = img.shape[-2], img.shape[-1]
+    x_ratio = float(dst_w) / float(src_w)
+    y_ratio = float(dst_h) / float(src_h)
+    j = jnp.arange(dst_w, dtype=jnp.float64 if img.dtype == jnp.float64 else jnp.float32)
+    i = jnp.arange(dst_h, dtype=j.dtype)
+    x = (j + 1) / x_ratio - 1
+    y = (i + 1) / y_ratio - 1
+    xg = jnp.broadcast_to(x[None, :], (dst_h, dst_w))
+    yg = jnp.broadcast_to(y[:, None], (dst_h, dst_w))
+    return bilinear_gather(img, xg, yg)
+
+
+def resize_by_ratio(img: jnp.ndarray, ratio: float) -> jnp.ndarray:
+    """Ratio-driven resize (``ImageProcessing.h:213-236``): dst size is
+    ``int(src * ratio)`` but the sampling grid uses ``ratio`` itself, not the
+    realized dst/src quotient."""
+    src_h, src_w = img.shape[-2], img.shape[-1]
+    dst_h, dst_w = resize_shape(src_h, src_w, ratio)
+    j = jnp.arange(dst_w, dtype=jnp.float64 if img.dtype == jnp.float64 else jnp.float32)
+    i = jnp.arange(dst_h, dtype=j.dtype)
+    x = (j + 1) / ratio - 1
+    y = (i + 1) / ratio - 1
+    xg = jnp.broadcast_to(x[None, :], (dst_h, dst_w))
+    yg = jnp.broadcast_to(y[:, None], (dst_h, dst_w))
+    return bilinear_gather(img, xg, yg)
+
+
+def warp_bilinear(
+    im1: jnp.ndarray, im2: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray
+) -> jnp.ndarray:
+    """Backward warp of frame 2 by flow ``(vx, vy)``; out-of-bounds targets
+    copy the frame-1 pixel (``ImageProcessing.h:495-520`` ``warpImage``).
+
+    ``im1``, ``im2``: ``(..., H, W)``; ``vx``, ``vy``: ``(H, W)``.
+    """
+    h, w = im2.shape[-2], im2.shape[-1]
+    ftype = im2.dtype if im2.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    j = jnp.arange(w, dtype=ftype)
+    i = jnp.arange(h, dtype=ftype)
+    x = j[None, :] + vx.astype(ftype)
+    y = i[:, None] + vy.astype(ftype)
+    oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
+    sampled = bilinear_gather(im2, x, y)
+    return jnp.where(oob, im1, sampled)

@@ -1,0 +1,230 @@
+"""Golden-value tests: JAX ops vs independent NumPy scalar oracles."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import np_ref
+from papteam_opticalflow_tpu.ops import bicubic, features, filters, interp, laplacian, noise, robust
+from papteam_opticalflow_tpu.utils.params import ColorType
+
+RNG = np.random.default_rng(42)
+
+
+def rand_img(h=13, w=17, c=3):
+    return RNG.random((h, w, c))
+
+
+def chw(x):
+    return jnp.moveaxis(jnp.asarray(x), -1, 0)
+
+
+def hwc(x):
+    return np.moveaxis(np.asarray(x), 0, -1)
+
+
+class TestFilters:
+    def test_hfilter_clamp(self):
+        img = rand_img()
+        taps = np.array([1.0, -8.0, 0.0, 8.0, -1.0]) / 12.0
+        want = np_ref.hfilter(img, taps)
+        got = hwc(filters.correlate1d(chw(img), taps, axis=-1))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_vfilter_clamp(self):
+        img = rand_img()
+        taps = np.array([0.02, 0.11, 0.74, 0.11, 0.02])
+        want = np_ref.vfilter(img, taps)
+        got = hwc(filters.correlate1d(chw(img), taps, axis=-2))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_separable_hv(self):
+        img = rand_img(9, 11, 1)
+        taps = filters.gaussian_taps(0.8, 2)
+        want = np_ref.vfilter(np_ref.hfilter(img, taps), taps)
+        got = hwc(filters.correlate_hv(chw(img), taps, taps))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_dx_dy_forward(self):
+        img = rand_img(8, 9, 1)[..., 0]
+        np.testing.assert_allclose(
+            np.asarray(filters.dx_forward(jnp.asarray(img))), np_ref.dx_forward(img)
+        )
+        np.testing.assert_allclose(
+            np.asarray(filters.dy_forward(jnp.asarray(img))), np_ref.dy_forward(img)
+        )
+
+    def test_gaussian_taps_normalized(self):
+        taps = filters.gaussian_taps(1.3333, 4)
+        assert taps.sum() == pytest.approx(1.0)
+        assert len(taps) == 9
+        # fsize=0 degenerates to identity.
+        assert filters.gaussian_taps(0.5, 0).tolist() == [1.0]
+
+
+class TestInterp:
+    def test_resize_ratio_down(self):
+        img = rand_img(12, 16)
+        want = np_ref.resize_ratio(img, 0.75)
+        got = hwc(interp.resize_by_ratio(chw(img), 0.75))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_resize_dims_up(self):
+        # Upsampling hits the negative-coordinate truncation path
+        # (x = (j+1)/r - 1 < 0 at j = 0).
+        img = rand_img(6, 8)
+        want = np_ref.resize_dims(img, 11, 9)
+        got = hwc(interp.resize_to(chw(img), 9, 11))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_warp_bilinear_oob_copies_im1(self):
+        im1, im2 = rand_img(7, 9), rand_img(7, 9)
+        vx = RNG.normal(size=(7, 9)) * 3
+        vy = RNG.normal(size=(7, 9)) * 3
+        want = np_ref.warp_image(im1, im2, vx, vy)
+        got = hwc(interp.warp_bilinear(chw(im1), chw(im2), jnp.asarray(vx), jnp.asarray(vy)))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_bilinear_truncation_negative_coords(self):
+        # (int)(-0.25) == 0 in C, not floor(-0.25) == -1.
+        img = rand_img(4, 4, 1)
+        want = np_ref.bilinear_interpolate(img, -0.25, -0.75)
+        got = interp.bilinear_gather(
+            chw(img), jnp.asarray([[-0.25]]), jnp.asarray([[-0.75]])
+        )
+        np.testing.assert_allclose(np.asarray(got)[:, 0, 0], want, atol=1e-14)
+
+
+class TestLaplacian:
+    def test_compat_matches_fused_loops(self):
+        f = RNG.random((9, 12))
+        w = RNG.random((9, 12)) + 0.1
+        want = np_ref.weighted_laplacian_compat(f, w)
+        got = np.asarray(
+            laplacian.weighted_laplacian(jnp.asarray(f), jnp.asarray(w), compat=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_compat_borders_differ_from_full(self):
+        f = RNG.random((6, 7))
+        w = np.ones((6, 7))
+        compat = np.asarray(
+            laplacian.weighted_laplacian(jnp.asarray(f), jnp.asarray(w), compat=True)
+        )
+        full = np.asarray(
+            laplacian.weighted_laplacian(jnp.asarray(f), jnp.asarray(w), compat=False)
+        )
+        # Interior identical; last row/col differ by the dropped flux terms.
+        np.testing.assert_allclose(compat[:-1, :-1], full[:-1, :-1], atol=1e-12)
+        assert not np.allclose(compat[:, -1], full[:, -1])
+        assert not np.allclose(compat[-1, :], full[-1, :])
+
+
+class TestBicubic:
+    def test_warp_bicubic(self):
+        im1, im2 = rand_img(7, 8), rand_img(7, 8)
+        vx = RNG.normal(size=(7, 8)) * 2
+        vy = RNG.normal(size=(7, 8)) * 2
+        want = np_ref.bicubic_warp_ref(im1, im2, vx, vy)
+        got = hwc(
+            bicubic.warp_bicubic_ref(chw(im1), chw(im2), jnp.asarray(vx), jnp.asarray(vy))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_threshold(self):
+        x = jnp.asarray([[-0.5, 0.5, 1.5]])
+        np.testing.assert_allclose(np.asarray(bicubic.threshold01(x)), [[0, 0.5, 1]])
+
+
+class TestFeatures:
+    def test_desaturate(self):
+        img = rand_img()
+        np.testing.assert_allclose(
+            np.asarray(features.desaturate(chw(img))), np_ref.desaturate(img), atol=1e-12
+        )
+
+    def test_im2feature_rgb(self):
+        img = rand_img(10, 11, 3)
+        feat = np.asarray(features.im2feature(chw(img), ColorType.RGB))
+        assert feat.shape == (5, 10, 11)
+        gray = np_ref.desaturate(img)
+        taps = np.array([1.0, -8.0, 0.0, 8.0, -1.0]) / 12.0
+        np.testing.assert_allclose(feat[0], gray, atol=1e-12)
+        np.testing.assert_allclose(
+            feat[1], np_ref.hfilter(gray[..., None], taps)[..., 0], atol=1e-12
+        )
+        np.testing.assert_allclose(feat[3], img[..., 1] - img[..., 0], atol=1e-12)
+        np.testing.assert_allclose(feat[4], img[..., 1] - img[..., 2], atol=1e-12)
+
+    def test_im2feature_gray(self):
+        img = rand_img(10, 11, 1)
+        feat = np.asarray(features.im2feature(chw(img)))
+        assert feat.shape == (3, 10, 11)
+        np.testing.assert_allclose(feat[0], img[..., 0])
+
+    def test_get_dxs(self):
+        im1, im2 = rand_img(9, 10, 2), rand_img(9, 10, 2)
+        g = np.array([0.02, 0.11, 0.74, 0.11, 0.02])
+        d = np.array([1.0, -8.0, 0.0, 8.0, -1.0]) / 12.0
+        s1 = np_ref.vfilter(np_ref.hfilter(im1, g), g)
+        s2 = np_ref.vfilter(np_ref.hfilter(im2, g), g)
+        blend = 0.4 * s1 + 0.6 * s2
+        imdx, imdy, imdt = features.get_dxs(chw(im1), chw(im2))
+        np.testing.assert_allclose(hwc(imdx), np_ref.hfilter(blend, d), atol=1e-12)
+        np.testing.assert_allclose(hwc(imdy), np_ref.vfilter(blend, d), atol=1e-12)
+        np.testing.assert_allclose(hwc(imdt), s2 - s1, atol=1e-12)
+
+
+class TestRobustNoise:
+    def test_phi(self):
+        a = [RNG.random((5, 6)) for _ in range(4)]
+        got = np.asarray(robust.phi_weight(*map(jnp.asarray, a), 1e-6))
+        mag = sum(x * x for x in a)
+        np.testing.assert_allclose(got, 0.5 / np.sqrt(mag + 1e-6), atol=1e-12)
+
+    def test_psi_and_assembly(self):
+        c, h, w = 3, 5, 6
+        imdx, imdy, imdt = (RNG.normal(size=(c, h, w)) for _ in range(3))
+        du, dv = RNG.normal(size=(h, w)), RNG.normal(size=(h, w))
+        psi = np.asarray(
+            robust.psi_weight(*map(jnp.asarray, (imdx, imdy, imdt, du, dv)), 1e-6)
+        )
+        temp = imdt + imdx * du + imdy * dv
+        np.testing.assert_allclose(psi, 1 / (2 * np.sqrt(temp**2 + 1e-6)), atol=1e-12)
+        out = robust.assemble_system(
+            jnp.asarray(psi), jnp.asarray(imdx), jnp.asarray(imdy), jnp.asarray(imdt)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0]), (psi * imdx * imdy).mean(axis=0), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[3]), (psi * imdx * imdt).mean(axis=0), atol=1e-12
+        )
+
+    def test_est_laplacian_noise(self):
+        im1 = rand_img(6, 7, 2)
+        im2 = im1.copy()
+        im2[..., 0] += 0.5  # channel 0: uniform diff; channel 1: all zero diff
+        got = np.asarray(noise.est_laplacian_noise(chw(im1), chw(im2)))
+        assert got[0] == pytest.approx(0.5)
+        assert got[1] == pytest.approx(0.001)  # all-invalid fallback
+
+
+class TestPyramidShapes:
+    @pytest.mark.parametrize("hw", [(135, 240), (270, 480), (1080, 1920), (41, 67)])
+    @pytest.mark.parametrize("levels", [2, 4, 8, 15])
+    def test_shapes_match_reference_arithmetic(self, hw, levels):
+        from papteam_opticalflow_tpu.models.pyramid import pyramid_shapes
+
+        assert pyramid_shapes(hw[0], hw[1], 0.75, levels) == np_ref.pyramid_shapes(
+            hw[0], hw[1], 0.75, levels
+        )
+
+    def test_ratio_clamp(self):
+        from papteam_opticalflow_tpu.models.pyramid import clamp_ratio
+
+        assert clamp_ratio(0.99) == 0.75
+        assert clamp_ratio(0.3) == 0.75
+        assert clamp_ratio(0.5) == 0.5
