@@ -59,6 +59,28 @@ def correlate_hv(
     return correlate1d(correlate1d(x, htaps, axis=-1), vtaps, axis=-2)
 
 
+def correlate1d_valid(x: jnp.ndarray, taps: Sequence[float], axis: int) -> jnp.ndarray:
+    """'Valid'-mode 1-D correlation: no padding, output shrinks by
+    ``2 * fsize`` along ``axis``.  Used by the row-sharded (halo-band)
+    pipeline where the clamp padding has already been materialized in the
+    band (``parallel/tiled.py``)."""
+    taps = np.asarray(taps, dtype=np.float64)
+    fsize = (len(taps) - 1) // 2
+    if fsize == 0:
+        return x * x.dtype.type(taps[0])
+    axis = axis % x.ndim
+    n = x.shape[axis] - 2 * fsize
+    out = None
+    for l, w in enumerate(taps):
+        if w == 0.0:
+            continue
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(l, l + n)
+        term = x[tuple(sl)] * x.dtype.type(w)
+        out = term if out is None else out + term
+    return out
+
+
 # 5-tap derivative filter of the reference: [1,-8,0,8,-1]/12
 # (``Image.h:994-997`` for dx, ``:1042-1045`` for dy).
 DERIVATIVE_5TAP = tuple(np.array([1.0, -8.0, 0.0, 8.0, -1.0]) / 12.0)

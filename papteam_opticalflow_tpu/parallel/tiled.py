@@ -1,0 +1,374 @@
+"""Row-tiled (spatially sharded) coarse-to-fine solver.
+
+The context-parallel analogue of the reference's problem-size scaling
+(SURVEY.md §5.7): a single frame pair's solve is sharded over the ``ty``
+mesh axis as horizontal row bands.  Per outer fixed-point iteration the
+flow field is all-gathered (small), stencil bands carry clamp-replicated
+halos, and each red-black half-sweep of the SOR exchanges one halo row of
+``du``/``dv`` over ICI via ``ppermute`` — the deterministic replacement for
+the reference's chaotic shared-memory SOR (``OpticalFlow.cpp:469-520``).
+
+Design notes
+------------
+* Every shard handles ``h = ceil(H / n_ty)`` rows; rows beyond the real
+  image height are "ghost" rows maintained as copies of the last real row so
+  band extraction stays contiguous (`lax.dynamic_slice`) and clamp-boundary
+  semantics fall out automatically (forward differences across the real
+  bottom edge vanish).
+* Pyramid construction, feature lifting and the final bicubic warp are
+  computed replicated (cheap, once per level); only the fixed-point/SOR
+  state is sharded.  The data term's warp gathers read the full (replicated)
+  frame — flow magnitude is unbounded so no fixed halo suffices
+  (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..models.pyramid import build_pyramid, clamp_ratio
+from ..models.solver import checkerboard  # noqa: F401  (single-device twin)
+from ..ops.bicubic import threshold01, warp_bicubic_ref
+from ..ops.features import im2feature
+from ..ops.filters import (
+    DERIVATIVE_5TAP,
+    PRESMOOTH_5TAP,
+    correlate1d,
+    correlate1d_valid,
+)
+from ..ops.interp import bilinear_gather, resize_to
+from ..ops.robust import assemble_system, phi_weight, psi_weight
+from ..utils.params import FlowParams, Interpolation
+from .halo import with_halo_rows
+
+
+def _edge_fix_pad(x: jnp.ndarray, real_h: int, pad_h: int, halo: int) -> jnp.ndarray:
+    """Clamp-extend a full-height array along rows: rows ``[real_h, pad_h)``
+    and ``halo`` rows on both ends all replicate the nearest real row.
+    Result has ``pad_h + 2 * halo`` rows; padded row ``p`` holds the value of
+    global row ``clip(p - halo, 0, real_h - 1)``."""
+    x = x[..., :real_h, :]
+    top = jnp.repeat(x[..., :1, :], halo, axis=-2)
+    bot = jnp.repeat(x[..., -1:, :], pad_h - real_h + halo, axis=-2)
+    return jnp.concatenate([top, x, bot], axis=-2)
+
+
+def _band(x_padded: jnp.ndarray, r0, length: int, halo_of_pad: int, halo: int):
+    """Rows ``[r0 - halo, r0 - halo + length)`` in global (clamped)
+    coordinates from an ``_edge_fix_pad``-ed array built with
+    ``halo_of_pad >= halo``."""
+    start = r0 + (halo_of_pad - halo)
+    return jax.lax.dynamic_slice_in_dim(x_padded, start, length, axis=-2)
+
+
+def _repair_ghost(x_local: jnp.ndarray, r0, h: int, real_h: int) -> jnp.ndarray:
+    """Overwrite ghost rows (global index >= real_h) with the last real row,
+    keeping clamp semantics consistent across sweeps."""
+    g = r0 + jnp.arange(h)
+    edge_idx = jnp.clip(real_h - 1 - r0, 0, h - 1)
+    edge_row = jax.lax.dynamic_index_in_dim(x_local, edge_idx, axis=-2, keepdims=True)
+    return jnp.where((g >= real_h)[:, None], edge_row, x_local)
+
+
+def _reclamp_band(x, r0, halo: int, real_h: int):
+    """Re-impose the reference's per-stage clamp boundary on a row band:
+    band rows whose global index falls outside ``[0, real_h)`` are replaced
+    by the band row at the clamped global index.  Each filtering stage in the
+    reference clamps independently (``EnforceRange`` inside hfiltering /
+    vfiltering), so smoothed-beyond-edge values must NOT leak into the next
+    stage."""
+    n = x.shape[-2]
+    i = jnp.arange(n)
+    src = jnp.clip(jnp.clip(r0 - halo + i, 0, real_h - 1) - (r0 - halo), 0, n - 1)
+    return jnp.take(x, src, axis=-2)
+
+
+def _get_dxs_band(feat1_b4, warp_b4, r0, real_h: int):
+    """getDxs (OpticalFlow.cpp:80-122) on a halo-4 row band: clamp
+    horizontal, valid vertical with per-stage clamp re-imposed between the
+    presmooth and the derivative.  Input ``(C, h+8, W)`` -> outputs
+    ``(C, h, W)``."""
+    t = feat1_b4.dtype.type
+    s1 = correlate1d_valid(correlate1d(feat1_b4, PRESMOOTH_5TAP, -1), PRESMOOTH_5TAP, -2)
+    s2 = correlate1d_valid(correlate1d(warp_b4, PRESMOOTH_5TAP, -1), PRESMOOTH_5TAP, -2)
+    s1 = _reclamp_band(s1, r0, 2, real_h)
+    s2 = _reclamp_band(s2, r0, 2, real_h)
+    blend = s1 * t(0.4) + s2 * t(0.6)  # (C, h+4, W)
+    imdx = correlate1d(blend, DERIVATIVE_5TAP, -1)[..., 2:-2, :]
+    imdy = correlate1d_valid(blend, DERIVATIVE_5TAP, -2)
+    imdt = (s2 - s1)[..., 2:-2, :]
+    return imdx, imdy, imdt
+
+
+def _warp_band(feat1_b, feat2_full, u_b, v_b, y_rows):
+    """Bilinear backward warp for band rows; OOB copies feat1
+    (ImageProcessing.h:495-520).  ``y_rows``: global (clamped) row index per
+    band row."""
+    w = feat2_full.shape[-1]
+    h_img = feat2_full.shape[-2]
+    ftype = feat2_full.dtype
+    j = jnp.arange(w, dtype=ftype)
+    x = j[None, :] + u_b
+    y = y_rows.astype(ftype)[:, None] + v_b
+    oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h_img - 1)
+    sampled = bilinear_gather(feat2_full, x, y)
+    return jnp.where(oob, feat1_b, sampled)
+
+
+def _weighted_laplacian_band(u_b2, phi_b1, g, real_h: int, compat: bool):
+    """Weighted Laplacian (OpticalFlow.cpp:725-778) on local rows from a
+    halo-2 flow band and halo-1 weight band.  ``g``: global row indices of
+    the local rows."""
+    u_b1 = u_b2[..., 1:-1, :]          # rows g0-1 .. g0+h
+    u_loc = u_b2[..., 2:-2, :]
+    phi_loc = phi_b1[..., 1:-1, :]
+
+    # Horizontal pass (fully local): flux fh[j] = (u[j+1]-u[j])*phi[j].
+    fh = (u_loc[..., :, 1:] - u_loc[..., :, :-1]) * phi_loc[..., :, :-1]
+    zcol = jnp.zeros_like(fh[..., :, :1])
+    out = jnp.concatenate([-fh, zcol], axis=-1)
+    if compat:
+        out = out + jnp.concatenate([zcol, fh[..., :, :-1], zcol], axis=-1)
+    else:
+        out = out + jnp.concatenate([zcol, fh], axis=-1)
+
+    # Vertical pass: fv on rows g0-1 .. g0+h-1 (+1 lookahead); edge-fixed
+    # bands make fv vanish across the real bottom edge automatically.
+    fv_b = (u_b1[..., 1:, :] - u_b1[..., :-1, :]) * phi_b1[..., :-1, :]  # h+1 rows
+    fv_here = fv_b[..., 1:, :]      # fv[i]   for local rows
+    fv_above = fv_b[..., :-1, :]    # fv[i-1] for local rows
+    m_valid = (g < real_h - 1)[:, None]
+    out = out - jnp.where(m_valid, fv_here, 0)
+    if compat:
+        m_prev = ((g > 0) & (g <= real_h - 2))[:, None]
+    else:
+        m_prev = (g > 0)[:, None]
+    out = out + jnp.where(m_prev, fv_above, 0)
+    return out
+
+
+def _nbr_sum(x, x_halo, wl, wr, wu, wd):
+    """sum of weighted 4-neighbors; ``x_halo`` = with_halo_rows(x, 1)."""
+    zcol = jnp.zeros_like(x[..., :, :1])
+    left = jnp.concatenate([zcol, x[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([x[..., :, 1:], zcol], axis=-1)
+    up = x_halo[..., :-2, :]
+    down = x_halo[..., 2:, :]
+    return wl * left + wr * right + wu * up + wd * down
+
+
+def _tiled_level_solver(
+    feat1,
+    feat2,
+    u_full,
+    v_full,
+    *,
+    params: FlowParams,
+    n_outer: int,
+    n_inner: int,
+    n_sor: int,
+    axis_name: str = "ty",
+):
+    """One pyramid level of SmoothFlowSOR, row-sharded over ``axis_name``.
+
+    All arguments are FULL (replicated) arrays; the function internally owns
+    rows ``[idx*h, (idx+1)*h)`` and returns full (replicated) updated flow.
+    """
+    n_ty = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    real_h, w = u_full.shape[-2], u_full.shape[-1]
+    h = -(-real_h // n_ty)
+    pad_h = h * n_ty
+    r0 = idx * h
+    t = u_full.dtype.type
+    alpha = t(params.alpha)
+    omega = t(params.omega)
+
+    g = r0 + jnp.arange(h)
+    jcol = jnp.arange(w)
+    red_mask = ((g[:, None] + jcol[None, :]) % 2) == 0
+    m_top = (g > 0)[:, None]
+    m_bot = (g < real_h - 1)[:, None]
+
+    feat1_p4 = _edge_fix_pad(feat1, real_h, pad_h, 4)
+    y4 = jnp.clip(r0 - 4 + jnp.arange(h + 8), 0, real_h - 1)
+
+    def gather_full(x_loc):
+        xg = jax.lax.all_gather(x_loc, axis_name, axis=0, tiled=True)  # (pad_h, W)
+        return xg
+
+    def outer_body(_, carry):
+        u_loc, v_loc = carry
+        ug = gather_full(u_loc)
+        vg = gather_full(v_loc)
+        u_p4 = _edge_fix_pad(ug, real_h, pad_h, 4)
+        v_p4 = _edge_fix_pad(vg, real_h, pad_h, 4)
+
+        # Phase 1: warp + spatio-temporal derivatives on a halo-4 band.
+        u_b4 = _band(u_p4, r0, h + 8, 4, 4)
+        v_b4 = _band(v_p4, r0, h + 8, 4, 4)
+        f1_b4 = _band(feat1_p4, r0, h + 8, 4, 4)
+        warp_b4 = _warp_band(f1_b4, feat2, u_b4, v_b4, y4)
+        imdx, imdy, imdt = _get_dxs_band(f1_b4, warp_b4, r0, real_h)
+
+        u_b2 = u_b4[..., 2:-2, :]
+        v_b2 = v_b4[..., 2:-2, :]
+        u_loc = u_b4[..., 4:-4, :]
+        v_loc = v_b4[..., 4:-4, :]
+
+        du = jnp.zeros((h, w), u_full.dtype)
+        dv = jnp.zeros((h, w), u_full.dtype)
+
+        for _inner in range(n_inner):
+            # Phase 2-3: flow derivatives and robust weights on halo-1 band.
+            du_b2 = with_halo_rows(du, 2, axis_name)
+            dv_b2 = with_halo_rows(dv, 2, axis_name)
+            uu_b2 = u_b2 + du_b2
+            vv_b2 = v_b2 + dv_b2
+            ux_b1 = jnp.concatenate(
+                [uu_b2[..., 1:-1, 1:] - uu_b2[..., 1:-1, :-1],
+                 jnp.zeros((h + 2, 1), u_full.dtype)], axis=-1)
+            vx_b1 = jnp.concatenate(
+                [vv_b2[..., 1:-1, 1:] - vv_b2[..., 1:-1, :-1],
+                 jnp.zeros((h + 2, 1), u_full.dtype)], axis=-1)
+            uy_b1 = uu_b2[..., 2:, :] - uu_b2[..., 1:-1, :]
+            vy_b1 = vv_b2[..., 2:, :] - vv_b2[..., 1:-1, :]
+            # Forward-difference dy is zero on the real last row; edge-fixed
+            # bands already guarantee that for the *initial* flow, and the
+            # ghost-row repair keeps du/dv consistent too — but shard-edge
+            # halos are real neighbor rows, so mask explicitly at the image
+            # bottom for the du/dv part (with_halo edge-replicates only at
+            # mesh ends).
+            gb1 = jnp.clip(r0 - 1 + jnp.arange(h + 2), 0, real_h - 1)
+            row_valid = (gb1 < real_h - 1)[:, None]
+            uy_b1 = jnp.where(row_valid, uy_b1, 0)
+            vy_b1 = jnp.where(row_valid, vy_b1, 0)
+            phi_b1 = phi_weight(ux_b1, uy_b1, vx_b1, vy_b1, params.varepsilon_phi)
+            phi = phi_b1[..., 1:-1, :]
+
+            psi = psi_weight(imdx, imdy, imdt, du, dv, params.varepsilon_psi)
+            imdxy, imdx2, imdy2, imdtdx, imdtdy = assemble_system(
+                psi, imdx, imdy, imdt
+            )
+            lap_u = _weighted_laplacian_band(
+                u_b2, phi_b1, g, real_h, params.compat_laplacian_borders
+            )
+            lap_v = _weighted_laplacian_band(
+                v_b2, phi_b1, g, real_h, params.compat_laplacian_borders
+            )
+            rhs_x = -imdtdx - alpha * lap_u
+            rhs_y = -imdtdy - alpha * lap_v
+
+            # SOR neighbor weights (OpticalFlow.cpp:482-509).
+            zcol = jnp.zeros((h, 1), u_full.dtype)
+            wl = jnp.concatenate([zcol, phi[..., :, :-1]], axis=-1)
+            wr = jnp.concatenate([phi[..., :, :-1], zcol], axis=-1)
+            wu = jnp.where(m_top, phi_b1[..., :-2, :], 0)
+            wd = jnp.where(m_bot, phi, 0)
+            coeff = (wl + wr + wu + wd) * alpha
+            diag = alpha * t(params.diag_reg_scale)
+            denx = imdx2 + diag + coeff
+            deny = imdy2 + diag + coeff
+
+            def half(du, dv, mask):
+                du_h = with_halo_rows(du, 1, axis_name)
+                dv_h = with_halo_rows(dv, 1, axis_name)
+                s1 = -alpha * _nbr_sum(du, du_h, wl, wr, wu, wd) + imdxy * dv
+                du = jnp.where(
+                    mask, (1 - omega) * du + omega * (rhs_x - s1) / denx, du
+                )
+                s2 = -alpha * _nbr_sum(dv, dv_h, wl, wr, wu, wd) + imdxy * du
+                dv = jnp.where(
+                    mask, (1 - omega) * dv + omega * (rhs_y - s2) / deny, dv
+                )
+                return du, dv
+
+            def sweep(_, c):
+                du, dv = c
+                du, dv = half(du, dv, red_mask)
+                du, dv = half(du, dv, ~red_mask)
+                return du, dv
+
+            du, dv = jax.lax.fori_loop(0, n_sor, sweep, (du, dv))
+            du = _repair_ghost(du, r0, h, real_h)
+            dv = _repair_ghost(dv, r0, h, real_h)
+
+        return u_loc + du, v_loc + dv
+
+    u0 = _band(_edge_fix_pad(u_full, real_h, pad_h, 0), r0, h, 0, 0)
+    v0 = _band(_edge_fix_pad(v_full, real_h, pad_h, 0), r0, h, 0, 0)
+    u_loc, v_loc = jax.lax.fori_loop(0, n_outer, outer_body, (u0, v0))
+    return gather_full(u_loc)[:real_h], gather_full(v_loc)[:real_h]
+
+
+def pair_flow_tiled(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    pyramid_levels: int,
+    params: FlowParams,
+    axis_name: str = "ty",
+):
+    """Full coarse-to-fine flow for ONE pair with every level's solve
+    row-sharded over ``axis_name``.  Must run inside a ``shard_map`` whose
+    mesh has that axis; ``im1``/``im2``: ``(C, H, W)`` replicated across it.
+    Pyramid/features/final-warp are computed replicated (cheap, once per
+    level); only the fixed-point/SOR state is sharded."""
+    assert params.interpolation == Interpolation.BILINEAR, (
+        "tiled path supports the reference default (bilinear feedback)"
+    )
+    ratio = clamp_ratio(params.ratio)
+    pyr1 = build_pyramid(im1, ratio, pyramid_levels)
+    pyr2 = build_pyramid(im2, ratio, pyramid_levels)
+    t = im1.dtype.type
+
+    u = v = None
+    for k in range(pyramid_levels - 1, -1, -1):
+        feat1 = im2feature(pyr1[k], params.color_type)
+        feat2 = im2feature(pyr2[k], params.color_type)
+        h, w = feat1.shape[-2], feat1.shape[-1]
+        if k == pyramid_levels - 1:
+            u = jnp.zeros((h, w), im1.dtype)
+            v = jnp.zeros((h, w), im1.dtype)
+        else:
+            inv_ratio = t(1.0 / ratio)
+            u = resize_to(u, h, w) * inv_ratio
+            v = resize_to(v, h, w) * inv_ratio
+        n_outer, n_inner, n_sor = params.level_schedule(k)
+        u, v = _tiled_level_solver(
+            feat1, feat2, u, v,
+            params=params, n_outer=n_outer, n_inner=n_inner, n_sor=n_sor,
+            axis_name=axis_name,
+        )
+
+    warp_i2 = threshold01(warp_bicubic_ref(im1, im2, u, v))
+    return u, v, warp_i2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pyramid_levels", "params", "mesh", "axis_name")
+)
+def tiled_coarse2fine_flow(
+    im1, im2, pyramid_levels: int, params: FlowParams, mesh: Mesh,
+    axis_name: str = "ty",
+):
+    """Single-pair flow, row-tiled over ``axis_name`` of ``mesh``."""
+    fn = functools.partial(
+        pair_flow_tiled,
+        pyramid_levels=pyramid_levels,
+        params=params,
+        axis_name=axis_name,
+    )
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # outputs replicated by construction (all_gather)
+    )(im1, im2)
