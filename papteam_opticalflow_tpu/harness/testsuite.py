@@ -1,0 +1,176 @@
+"""Benchmark/sweep harness — the reference's ``TestSuite.py`` as a real CLI.
+
+The reference hardcodes its sweep in source (``Code/Parallel/TestSuite.py:93``
+runs ``Progression='Final'`` x 3 images x pyramid (2,4,8,15) x threads
+(2,4,8,16,24)``) and has no flag parser (an argparse block is commented out,
+``OpticalFlowCalculation.py:24-31``).  This harness exposes the same sweep
+structure as flags, replaces the thread progression with mesh shapes, and
+adds what the reference lacks (SURVEY.md §5.3-5.5): a resumable sweep
+manifest, NaN/divergence detection per frame, and structured JSONL timing
+alongside the reference-compatible ``UniversalTiming.txt``.
+
+Usage:
+    python -m papteam_opticalflow_tpu.harness.testsuite \
+        --root /root/reference --progression Final --images-per-collection 3 \
+        --pyramid-levels 2 4 8 15 --output output/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..api import coarse2fine_flow
+from ..data.discovery import FramePairGenerator
+from ..utils.params import DEFAULT_PARAMS, FlowParams
+from ..utils.timing import JsonlTimingLog, UniversalTimingWriter
+from ..utils.viz import save_flow_image
+
+# Reference progression names (TestSuite.py:14-26).
+COLLECTION_LEVELS = {
+    "Light": "HoChiMinhTraffic_10FPS_320",
+    "Medium": "HoChiMinhTraffic_10FPS_800",
+    "Heavy": "HoChiMinhTraffic_10FPS_1920",
+}
+FINAL_LEVELS = (
+    "HoChiMinhTraffic_10FPS_240",
+    "HoChiMinhTraffic_10FPS_480",
+    "HoChiMinhTraffic_10FPS_960",
+    "HoChiMinhTraffic_10FPS_1920",
+)
+PROGRESSIONS = {
+    "Light": (COLLECTION_LEVELS["Light"],),
+    "Default": (COLLECTION_LEVELS["Medium"],),
+    "Heavy": (COLLECTION_LEVELS["Heavy"],),
+    "Full": tuple(COLLECTION_LEVELS.values()),
+    "Final": FINAL_LEVELS,
+}
+
+
+def load_pair(pair, dtype=np.float64):
+    from PIL import Image
+
+    a = np.asarray(Image.open(pair.before.path)).astype(dtype) / 255.0
+    b = np.asarray(Image.open(pair.after.path)).astype(dtype) / 255.0
+    return a, b
+
+
+def run_sweep(args) -> dict:
+    gen = FramePairGenerator(args.root)
+    if args.collections:
+        collections = args.collections
+    else:
+        collections = [
+            c for c in PROGRESSIONS[args.progression] if c in gen.collections
+        ]
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    timing_tsv = UniversalTimingWriter(out_dir / "UniversalTiming.txt")
+    timing_jsonl = JsonlTimingLog(out_dir / "timing.jsonl")
+    manifest_path = out_dir / "sweep_manifest.json"
+    done = set()
+    if args.resume and manifest_path.exists():
+        done = set(json.loads(manifest_path.read_text())["completed"])
+
+    params = DEFAULT_PARAMS
+    n_devices = 1
+    try:
+        import jax
+
+        n_devices = len(jax.devices())
+    except Exception:
+        pass
+
+    stats = {"completed": 0, "skipped": 0, "failed": 0}
+    t_begin = time.perf_counter()
+    for _rep in range(args.repetitions):
+        for collection in collections:
+            pairs = gen.pairs_from_collection(collection)
+            if args.images_per_collection >= 1:
+                pairs = pairs[: args.images_per_collection]
+            for levels in args.pyramid_levels:
+                img_dir = (
+                    out_dir / f"{collection}{args.suffix}" / f"images_P{levels}"
+                )
+                for pair in pairs:
+                    key = f"{collection}|P{levels}|{pair.before.path.name}|rep{_rep}"
+                    if key in done:
+                        stats["skipped"] += 1
+                        continue
+                    im1, im2 = load_pair(pair)
+                    print(
+                        f"[{pair.as_storage_string()}] P[{levels}]", flush=True
+                    )
+                    timing, u, v, _w = coarse2fine_flow(
+                        im1, im2, pyramid_levels=levels, params=params
+                    )
+                    # Failure detection the reference lacks (SURVEY.md §5.3):
+                    # flag NaN/divergence per frame instead of writing garbage.
+                    finite = bool(np.isfinite(u).all() and np.isfinite(v).all())
+                    max_flow = float(
+                        max(np.abs(u).max(), np.abs(v).max())
+                    ) if finite else float("nan")
+                    if not finite or max_flow > args.divergence_threshold:
+                        stats["failed"] += 1
+                        timing_jsonl.append(
+                            dict(
+                                key=key, status="diverged", finite=finite,
+                                max_flow=max_flow,
+                            )
+                        )
+                        continue
+                    if not args.no_images:
+                        img_dir.mkdir(parents=True, exist_ok=True)
+                        save_flow_image(
+                            img_dir / f"frame{pair.before.index_string}.jpg", u, v
+                        )
+                    timing_tsv.append(timing, collection, n_devices, levels)
+                    timing_jsonl.append(
+                        dict(
+                            key=key, status="ok", collection=collection,
+                            levels=levels, devices=n_devices,
+                            seconds=float(timing["Total Device Execution"]),
+                            max_flow=max_flow,
+                        )
+                    )
+                    done.add(key)
+                    stats["completed"] += 1
+                    manifest_path.write_text(
+                        json.dumps({"completed": sorted(done)})
+                    )
+    stats["wall_seconds"] = time.perf_counter() - t_begin
+    print(f"Program Execution time: {stats['wall_seconds']:.2f}")
+    return stats
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--root", default="/root/reference",
+                   help="dataset root containing images_New/ etc.")
+    p.add_argument("--progression", choices=sorted(PROGRESSIONS), default="Final")
+    p.add_argument("--collections", nargs="*", default=None,
+                   help="explicit collection names (overrides --progression)")
+    p.add_argument("--images-per-collection", type=int, default=3,
+                   help="-1 for all pairs")
+    p.add_argument("--pyramid-levels", type=int, nargs="+", default=[2, 4, 8, 15])
+    p.add_argument("--repetitions", type=int, default=1)
+    p.add_argument("--suffix", default="_tpu")
+    p.add_argument("--output", default="output")
+    p.add_argument("--resume", action="store_true",
+                   help="skip work items recorded in sweep_manifest.json")
+    p.add_argument("--no-images", action="store_true")
+    p.add_argument("--divergence-threshold", type=float, default=1e4)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    run_sweep(args)
+
+
+if __name__ == "__main__":
+    main()

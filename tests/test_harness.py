@@ -1,0 +1,96 @@
+"""Harness-layer tests: discovery, flow I/O codec, timing writers, sweep CLI
+with resume."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from papteam_opticalflow_tpu.data.discovery import FramePairGenerator, ImageCollection
+from papteam_opticalflow_tpu.utils.flowio import (
+    decode_flow_fixed,
+    encode_flow_fixed,
+    load_flow,
+    save_flow,
+)
+from papteam_opticalflow_tpu.utils.timing import UniversalTimingWriter
+
+REF_ROOT = Path("/root/reference")
+
+
+class TestDiscovery:
+    @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
+    def test_reference_dataset_discovery(self):
+        gen = FramePairGenerator(REF_ROOT)
+        names = gen.collection_names()
+        assert "HoChiMinhTraffic_10FPS_240" in names
+        pairs = gen.pairs_from_collection("HoChiMinhTraffic_10FPS_240")
+        # 102 frames -> 101 consecutive pairs (SURVEY.md §2.1 datasets row).
+        assert len(pairs) == 101
+        p = pairs[0]
+        assert p.after.index == p.before.index + 1
+
+    def test_pairing_skips_gaps(self, tmp_path):
+        d = tmp_path / "images_New" / "coll"
+        d.mkdir(parents=True)
+        for i in (1, 2, 4, 5):  # gap at 3
+            (d / f"frame_{i:05d}.jpg").write_bytes(b"")
+        pairs = ImageCollection(d).pairs()
+        names = [p.before.path.name for p in pairs]
+        assert names == ["frame_00001.jpg", "frame_00004.jpg"]
+
+
+class TestFlowIO:
+    def test_fixed_point_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        u = rng.normal(size=(17, 23)) * 5
+        v = rng.normal(size=(17, 23)) * 5
+        f = tmp_path / "flow.bin"
+        save_flow(f, u, v)
+        u2, v2 = load_flow(f)
+        # Quantization step is 1/160 px (OpticalFlow.cpp:1091).
+        assert np.abs(u - u2).max() <= 1 / 160 + 1e-12
+        assert np.abs(v - v2).max() <= 1 / 160 + 1e-12
+
+    def test_clamps_at_pm_200(self):
+        q = encode_flow_fixed(np.array([[300.0]]), np.array([[-300.0]]))
+        u, v = decode_flow_fixed(q)
+        assert u[0, 0] == 200.0 and v[0, 0] == -200.0
+
+
+class TestTimingWriter:
+    def test_reference_schema(self, tmp_path):
+        w = UniversalTimingWriter(tmp_path / "UniversalTiming.txt")
+        w.append({"Total C++ Execution": "1.5"}, "HoChiMinhTraffic_10FPS_240", 8, 4)
+        w.append({"Total C++ Execution": "2.5"}, "HoChiMinhTraffic_10FPS_240", 8, 4)
+        lines = (tmp_path / "UniversalTiming.txt").read_text().splitlines()
+        assert lines[1] == "Image\tTotal C++ Execution"
+        assert lines[2] == "240 pixels 8 threads4 pyramid\t1.5"
+        assert len(lines) == 4  # header written once
+
+
+class TestSweepCLI:
+    @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
+    def test_sweep_and_resume(self, tmp_path):
+        from papteam_opticalflow_tpu.harness import testsuite
+
+        argv = [
+            "--root", str(REF_ROOT),
+            "--collections", "HoChiMinhTraffic_10FPS_240",
+            "--images-per-collection", "1",
+            "--pyramid-levels", "2",
+            "--output", str(tmp_path),
+            "--no-images",
+        ]
+        args = testsuite.build_parser().parse_args(argv)
+        stats = testsuite.run_sweep(args)
+        assert stats["completed"] == 1 and stats["failed"] == 0
+        assert (tmp_path / "UniversalTiming.txt").exists()
+        manifest = json.loads((tmp_path / "sweep_manifest.json").read_text())
+        assert len(manifest["completed"]) == 1
+
+        # Resume: everything already done -> skipped.
+        args = testsuite.build_parser().parse_args(argv + ["--resume"])
+        stats = testsuite.run_sweep(args)
+        assert stats["completed"] == 0 and stats["skipped"] == 1
