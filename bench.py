@@ -104,21 +104,38 @@ def bench_config(width_px: int, levels: int, iters: int):
     }
 
 
+class _Watchdog(Exception):
+    pass
+
+
 def main():
+    import signal
+
     width_px, levels = (
         int(x) for x in os.environ.get("BENCH_CONFIG", "960:8").split(":")
     )
     iters = int(os.environ.get("BENCH_ITERS", "5"))
-    # The tunneled TPU worker occasionally crashes and needs ~1-2 min to
-    # restart; retry, then fall back to a smaller config so the driver
-    # always records a number.
+    per_attempt_s = int(os.environ.get("BENCH_TIMEOUT", "900"))
+
+    def on_alarm(sig, frame):
+        raise _Watchdog(f"attempt exceeded {per_attempt_s}s")
+
+    signal.signal(signal.SIGALRM, on_alarm)
+
+    # The tunneled TPU worker occasionally crashes or hangs and needs ~1-3
+    # min to restart; bound each attempt with an alarm, retry, then fall
+    # back to a smaller config so the driver always records a number.
     attempts = [(width_px, levels), (width_px, levels), (480, 4)]
     last_err = None
     for w_px, lv in attempts:
         try:
-            print(json.dumps(bench_config(w_px, lv, iters)))
+            signal.alarm(per_attempt_s)
+            result = bench_config(w_px, lv, iters)
+            signal.alarm(0)
+            print(json.dumps(result))
             return
         except Exception as e:  # noqa: BLE001
+            signal.alarm(0)
             last_err = e
             log(f"bench {w_px}:{lv} failed ({e}); retrying after cooldown")
             time.sleep(90)

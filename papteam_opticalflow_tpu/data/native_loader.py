@@ -1,0 +1,202 @@
+"""ctypes wrapper over the native C++ prefetching JPEG loader
+(``native/loader.cpp`` -> ``native/lib/libofloader.so``).
+
+Workers decode directly into caller-owned numpy buffers (zero internal
+copies).  Falls back to PIL when the shared library has not been built, so
+the framework is importable everywhere; build with ``native/build.sh``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATH = (
+    Path(__file__).resolve().parent.parent.parent / "native" / "lib" / "libofloader.so"
+)
+_lib = None
+_FLOAT_P = ctypes.POINTER(ctypes.c_float)
+_INT_P = ctypes.POINTER(ctypes.c_int)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.ofl_decode.restype = ctypes.c_int
+    lib.ofl_decode.argtypes = [
+        ctypes.c_char_p, _FLOAT_P, _INT_P, _INT_P, _INT_P,
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.ofl_create.restype = ctypes.c_void_p
+    lib.ofl_create.argtypes = [ctypes.c_int]
+    lib.ofl_destroy.argtypes = [ctypes.c_void_p]
+    lib.ofl_submit.restype = ctypes.c_int
+    lib.ofl_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        _FLOAT_P, _FLOAT_P, ctypes.c_int64,
+    ]
+    lib.ofl_wait.restype = ctypes.c_int
+    lib.ofl_wait.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, _INT_P, _INT_P, _INT_P,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _pil_decode_chw(path) -> np.ndarray:
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[None]
+    else:
+        arr = np.moveaxis(arr, -1, 0)
+    return np.ascontiguousarray(arr)
+
+
+def decode_chw(path, max_elems: int = 3 * 4096 * 4096) -> np.ndarray:
+    """Decode one JPEG to (C, H, W) float32 in [0, 1]."""
+    lib = _load()
+    if lib is None:
+        return _pil_decode_chw(path)
+    buf = np.empty(max_elems, dtype=np.float32)
+    h, w, c = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    err = ctypes.create_string_buffer(256)
+    rc = lib.ofl_decode(
+        str(path).encode(), buf.ctypes.data_as(_FLOAT_P),
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+        max_elems, err, len(err),
+    )
+    if rc != 0:
+        raise IOError(f"native decode failed ({rc}): {err.value.decode()}")
+    n = c.value * h.value * w.value
+    return buf[:n].reshape(c.value, h.value, w.value).copy()
+
+
+class PrefetchingPairLoader:
+    """Decode frame pairs ahead of the consumer with native worker threads.
+
+    Ring of ``depth`` pre-allocated buffer pairs; yielded arrays are VIEWS
+    into ring slots valid until ``depth - 1`` further iterations (the
+    consumer is expected to transfer them to device immediately; pass
+    ``copy=True`` to yield owned copies).
+
+    Usage::
+
+        with PrefetchingPairLoader(n_threads=2) as loader:
+            for im1, im2 in loader.iter_pairs(path_pairs):
+                ...  # (C, H, W) float32 arrays
+    """
+
+    def __init__(self, n_threads: int = 2, depth: int = 4,
+                 max_elems: Optional[int] = None, copy: bool = False):
+        self._lib = _load()
+        self._handle = None
+        self.depth = max(2, depth)
+        self.max_elems = max_elems  # None: sized from the first pair
+        self.copy = copy
+        self._ring = None
+        if self._lib is not None:
+            self._handle = self._lib.ofl_create(n_threads)
+
+    def _alloc_ring(self, elems: int):
+        # Exact-size slots: oversized buffers cost ~50 ms of first-touch
+        # page faults each, dominating decode time.
+        self.max_elems = elems
+        self._ring = [
+            (np.empty(elems, np.float32), np.empty(elems, np.float32))
+            for _ in range(self.depth)
+        ]
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.ofl_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _submit(self, slot: int, pa, pb) -> int:
+        a, b = self._ring[slot]
+        return self._lib.ofl_submit(
+            self._handle, str(pa).encode(), str(pb).encode(),
+            a.ctypes.data_as(_FLOAT_P), b.ctypes.data_as(_FLOAT_P),
+            self.max_elems,
+        )
+
+    def _wait(self, ticket: int, slot: int) -> Tuple[np.ndarray, np.ndarray]:
+        h, w, c = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        err = ctypes.create_string_buffer(256)
+        rc = self._lib.ofl_wait(
+            self._handle, ticket,
+            ctypes.byref(h), ctypes.byref(w), ctypes.byref(c), err, len(err),
+        )
+        if rc != 0:
+            raise IOError(f"native load failed ({rc}): {err.value.decode()}")
+        n = c.value * h.value * w.value
+        shape = (c.value, h.value, w.value)
+        a, b = self._ring[slot]
+        va = a[:n].reshape(shape)
+        vb = b[:n].reshape(shape)
+        if self.copy:
+            return va.copy(), vb.copy()
+        return va, vb
+
+    def iter_pairs(
+        self, path_pairs: Sequence[Tuple[str, str]]
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if self._handle is None:
+            for pa, pb in path_pairs:
+                yield _pil_decode_chw(pa), _pil_decode_chw(pb)
+            return
+        it = iter(path_pairs)
+        if self._ring is None:
+            # Decode the first pair synchronously to learn the frame size,
+            # then allocate exact-size ring slots for the pipeline.
+            try:
+                pa, pb = next(it)
+            except StopIteration:
+                return
+            first_a = decode_chw(pa)
+            first_b = decode_chw(pb)
+            self._alloc_ring(
+                self.max_elems or max(first_a.size, first_b.size)
+            )
+            yield first_a, first_b
+        pending = []  # (ticket, slot)
+        exhausted = False
+        slot = 0
+        while pending or not exhausted:
+            # A slot is safe to reuse once its result has been yielded AND
+            # the consumer has moved depth-1 iterations past it; with at
+            # most depth-1 outstanding submissions the ring never clobbers
+            # a live view.
+            while not exhausted and len(pending) < self.depth - 1:
+                try:
+                    pa, pb = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                t = self._submit(slot, pa, pb)
+                if t < 0:
+                    raise IOError("loader is shutting down")
+                pending.append((t, slot))
+                slot = (slot + 1) % self.depth
+            if pending:
+                ticket, s = pending.pop(0)
+                yield self._wait(ticket, s)

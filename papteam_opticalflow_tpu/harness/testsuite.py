@@ -24,8 +24,8 @@ from pathlib import Path
 
 import numpy as np
 
-from ..api import coarse2fine_flow
 from ..data.discovery import FramePairGenerator
+from ..data.native_loader import PrefetchingPairLoader
 from ..utils.params import DEFAULT_PARAMS, FlowParams
 from ..utils.timing import JsonlTimingLog, UniversalTimingWriter
 from ..utils.viz import save_flow_image
@@ -51,12 +51,25 @@ PROGRESSIONS = {
 }
 
 
-def load_pair(pair, dtype=np.float64):
-    from PIL import Image
+def _flow_chw(im1_chw, im2_chw, levels: int, params: FlowParams):
+    """One pair through the jitted pipeline; returns (timing, u, v)."""
+    import jax
+    import jax.numpy as jnp
 
-    a = np.asarray(Image.open(pair.before.path)).astype(dtype) / 255.0
-    b = np.asarray(Image.open(pair.after.path)).astype(dtype) / 255.0
-    return a, b
+    from ..models.coarse2fine import coarse2fine_flow_chw
+
+    start = time.perf_counter()
+    u, v, _w = coarse2fine_flow_chw(
+        jnp.asarray(im1_chw), jnp.asarray(im2_chw), levels, params
+    )
+    u = np.asarray(u)  # completion barrier (axon ignores block_until_ready)
+    v = np.asarray(v)
+    elapsed = time.perf_counter() - start
+    timing = {
+        "Total Device Execution": str(elapsed),
+        "Total C++ Execution": str(elapsed),
+    }
+    return timing, u, v
 
 
 def run_sweep(args) -> dict:
@@ -96,18 +109,34 @@ def run_sweep(args) -> dict:
                 img_dir = (
                     out_dir / f"{collection}{args.suffix}" / f"images_P{levels}"
                 )
-                for pair in pairs:
+                todo = [
+                    p for p in pairs
+                    if f"{collection}|P{levels}|{p.before.path.name}|rep{_rep}"
+                    not in done
+                ]
+                stats["skipped"] += len(pairs) - len(todo)
+                loader = PrefetchingPairLoader(n_threads=args.loader_threads)
+                frames = loader.iter_pairs(
+                    [(p.before.path, p.after.path) for p in todo]
+                )
+                for pair in todo:
                     key = f"{collection}|P{levels}|{pair.before.path.name}|rep{_rep}"
-                    if key in done:
-                        stats["skipped"] += 1
+                    try:
+                        im1, im2 = next(frames)
+                    except StopIteration:
+                        break
+                    except IOError as e:
+                        # Corrupt/unreadable frame: record and keep sweeping
+                        # (the native loader pipeline stays usable).
+                        stats["failed"] += 1
+                        timing_jsonl.append(
+                            dict(key=key, status="load_error", error=str(e))
+                        )
                         continue
-                    im1, im2 = load_pair(pair)
                     print(
                         f"[{pair.as_storage_string()}] P[{levels}]", flush=True
                     )
-                    timing, u, v, _w = coarse2fine_flow(
-                        im1, im2, pyramid_levels=levels, params=params
-                    )
+                    timing, u, v = _flow_chw(im1, im2, levels, params)
                     # Failure detection the reference lacks (SURVEY.md §5.3):
                     # flag NaN/divergence per frame instead of writing garbage.
                     finite = bool(np.isfinite(u).all() and np.isfinite(v).all())
@@ -142,6 +171,7 @@ def run_sweep(args) -> dict:
                     manifest_path.write_text(
                         json.dumps({"completed": sorted(done)})
                     )
+                loader.close()
     stats["wall_seconds"] = time.perf_counter() - t_begin
     print(f"Program Execution time: {stats['wall_seconds']:.2f}")
     return stats
@@ -164,6 +194,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip work items recorded in sweep_manifest.json")
     p.add_argument("--no-images", action="store_true")
     p.add_argument("--divergence-threshold", type=float, default=1e4)
+    p.add_argument("--loader-threads", type=int, default=2,
+                   help="native JPEG-decode worker threads")
     return p
 
 

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .filters import CENTRAL_DIFF_3TAP, correlate1d
+from .interp import gather2d
 
 # Hermite basis: coefficients a = M @ G @ M^T reproduce the 16 explicit
 # expressions of BicubicCoeff (Image.h:2562-2592) with
@@ -63,11 +64,11 @@ def warp_bicubic_ref(
     fy = (y - y0.astype(ftype)).astype(dtype)
 
     def corners(img):
-        # (..., H, W, 2, 2): last axes index (x corner, y corner).
-        c00 = img[..., y0, x0]
-        c10 = img[..., y0, x1]
-        c01 = img[..., y1, x0]
-        c11 = img[..., y1, x1]
+        # Four corner gathers via the flat-take lowering (see gather2d).
+        c00 = gather2d(img, y0, x0)
+        c10 = gather2d(img, y0, x1)
+        c01 = gather2d(img, y1, x0)
+        c11 = gather2d(img, y1, x1)
         return c00, c10, c01, c11
 
     f00, f10, f01, f11 = corners(im2)

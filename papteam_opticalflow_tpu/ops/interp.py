@@ -22,6 +22,23 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
+def gather2d(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """``img[..., yi, xi]`` via a flattened 1-D ``jnp.take``.
+
+    The equivalent 2-D advanced-indexing gather lowers to a multi-dim XLA
+    gather that reproducibly faults the (experimental) axon TPU runtime at
+    some shapes; the flat row-major take avoids that codepath and fuses at
+    least as well.  ``yi``/``xi``: equal-shaped int32 index arrays (already
+    in range).  Returns ``(..., *yi.shape)``.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    lead = img.shape[:-2]
+    flat = img.reshape(*lead, h * w)
+    idx = (yi * w + xi).reshape(-1)
+    out = jnp.take(flat, idx, axis=-1)
+    return out.reshape(*lead, *yi.shape)
+
+
 def bilinear_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Sample ``img`` at float coords ``(x, y)`` with the reference's
     truncation + clamp semantics (``ImageProcessing.h:137-157``).
@@ -49,10 +66,10 @@ def bilinear_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     w01 = (1 - fx) * fy
     w11 = fx * fy
 
-    v00 = img[..., y0, x0]
-    v10 = img[..., y0, x1]
-    v01 = img[..., y1, x0]
-    v11 = img[..., y1, x1]
+    v00 = gather2d(img, y0, x0)
+    v10 = gather2d(img, y0, x1)
+    v01 = gather2d(img, y1, x0)
+    v11 = gather2d(img, y1, x1)
     return v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
 
 

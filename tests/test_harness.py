@@ -94,3 +94,49 @@ class TestSweepCLI:
         args = testsuite.build_parser().parse_args(argv + ["--resume"])
         stats = testsuite.run_sweep(args)
         assert stats["completed"] == 0 and stats["skipped"] == 1
+
+
+class TestNativeLoader:
+    @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
+    def test_native_decode_matches_pil(self):
+        from papteam_opticalflow_tpu.data.native_loader import (
+            decode_chw, native_available,
+        )
+        if not native_available():
+            pytest.skip("native loader not built (native/build.sh)")
+        from PIL import Image
+
+        gen = FramePairGenerator(REF_ROOT)
+        p = gen.pairs_from_collection("HoChiMinhTraffic_10FPS_240")[0].before.path
+        a = decode_chw(p)
+        pil = np.moveaxis(np.asarray(Image.open(p)).astype(np.float32) / 255.0, -1, 0)
+        assert a.shape == pil.shape
+        np.testing.assert_allclose(a, pil, atol=1e-6)
+
+    @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
+    def test_prefetch_pipeline_order_and_content(self):
+        from papteam_opticalflow_tpu.data.native_loader import (
+            PrefetchingPairLoader, decode_chw, native_available,
+        )
+        if not native_available():
+            pytest.skip("native loader not built")
+        gen = FramePairGenerator(REF_ROOT)
+        pairs = gen.pairs_from_collection("HoChiMinhTraffic_10FPS_240")[:6]
+        pp = [(p.before.path, p.after.path) for p in pairs]
+        with PrefetchingPairLoader(n_threads=2, depth=3, copy=True) as loader:
+            out = list(loader.iter_pairs(pp))
+        assert len(out) == 6
+        for (pa, pb), (a, b) in zip(pp, out):
+            np.testing.assert_allclose(a, decode_chw(pa), atol=1e-6)
+            np.testing.assert_allclose(b, decode_chw(pb), atol=1e-6)
+
+    def test_native_decode_error(self, tmp_path):
+        from papteam_opticalflow_tpu.data.native_loader import (
+            decode_chw, native_available,
+        )
+        if not native_available():
+            pytest.skip("native loader not built")
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"not a jpeg")
+        with pytest.raises(IOError):
+            decode_chw(bad)
