@@ -45,14 +45,20 @@ def _coarse2fine_impl(
     pyr2 = build_pyramid(im2, ratio, pyramid_levels)
 
     t = im1.dtype.type
-    # LapPara: nchannels+2 entries initialized to 0.02
-    # (OpticalFlow.cpp:856-866); for 1/3-channel inputs this equals the
-    # feature channel count (3/5).
-    lap_para = (
-        jnp.full((im1.shape[0] + 2,), t(0.02))
-        if params.estimate_laplacian_noise
-        else None
-    )
+    # Noise-model state initialized once before the level loop
+    # (OpticalFlow.cpp:856-866) and carried across levels:
+    # Lap: nchannels+2 entries of 0.02; GMixture: GMPara.reset(nchannels+2).
+    # For 1/3-channel inputs nchannels+2 equals the feature channel count.
+    from ..utils.params import NoiseModel
+
+    if params.noise_model == NoiseModel.GAUSSIAN_MIXTURE:
+        from ..ops.gmm import init_gmixture
+
+        lap_para = init_gmixture(im1.shape[0] + 2, im1.dtype)
+    elif params.estimate_laplacian_noise:
+        lap_para = jnp.full((im1.shape[0] + 2,), t(0.02))
+    else:
+        lap_para = None
 
     u = v = None
     for k in range(pyramid_levels - 1, -1, -1):

@@ -71,6 +71,26 @@ def pyramid_shapes(
     return [(p["h"], p["w"]) for p in _pyramid_plan(h0, w0, ratio, n_levels)]
 
 
+def n_levels_for_min_width(w0: int, ratio: float, min_width: int) -> int:
+    """Level count of the minWidth-driven builder
+    (``GaussianPyramid::ConstructPyramid``, ``GaussianPyramid.cpp:47-77``):
+    ``nLevels = int(log(minWidth / width) / log(ratio))`` (C double->int
+    truncation).  Not used by the PAP benchmark entry point, provided for
+    API parity."""
+    import math
+
+    ratio = clamp_ratio(ratio)
+    return int(math.log(float(min_width) / w0) / math.log(ratio))
+
+
+def build_pyramid_min_width(
+    image: jnp.ndarray, ratio: float, min_width: int
+) -> List[jnp.ndarray]:
+    """``ConstructPyramid(image, ratio, minWidth)`` equivalent."""
+    n = n_levels_for_min_width(image.shape[-1], ratio, min_width)
+    return build_pyramid(image, ratio, max(n, 1))
+
+
 def build_pyramid(
     image: jnp.ndarray, ratio: float, n_levels: int
 ) -> List[jnp.ndarray]:

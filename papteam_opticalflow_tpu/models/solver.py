@@ -94,9 +94,13 @@ def build_sor_system(
     imdt: jnp.ndarray,
     params: FlowParams,
     lap_para: jnp.ndarray | None = None,
+    psi_fn=None,
 ) -> SorSystem:
     """Phases 2-4 of the inner loop (``OpticalFlow.cpp:296-459``): flow
-    derivatives, Phi/Psi weights, system assembly, weighted Laplacian, rhs."""
+    derivatives, Phi/Psi weights, system assembly, weighted Laplacian, rhs.
+
+    ``psi_fn`` overrides the data-term weight (the Gaussian-mixture branch);
+    default is the Laplacian-model Psi."""
     t = u.dtype.type
     alpha = t(params.alpha)
     uu = u + du
@@ -104,9 +108,12 @@ def build_sor_system(
     ux, uy = dx_forward(uu), dy_forward(uu)
     vx, vy = dx_forward(vv), dy_forward(vv)
     phi = phi_weight(ux, uy, vx, vy, params.varepsilon_phi)
-    psi = psi_weight(
-        imdx, imdy, imdt, du, dv, params.varepsilon_psi, lap_para=lap_para
-    )
+    if psi_fn is not None:
+        psi = psi_fn(imdx, imdy, imdt, du, dv)
+    else:
+        psi = psi_weight(
+            imdx, imdy, imdt, du, dv, params.varepsilon_psi, lap_para=lap_para
+        )
     imdxy, imdx2, imdy2, imdtdx, imdtdy = assemble_system(psi, imdx, imdy, imdt)
     lap_u = weighted_laplacian(u, phi, compat=params.compat_laplacian_borders)
     lap_v = weighted_laplacian(v, phi, compat=params.compat_laplacian_borders)
@@ -180,17 +187,31 @@ def smooth_flow_sor(
     """
     from .sor_dispatch import sor_solve  # late import to avoid cycle
 
-    track_noise = lap_para is not None
+    gmixture = params.noise_model == NoiseModel.GAUSSIAN_MIXTURE
+    track_noise = lap_para is not None or gmixture
+    if gmixture and lap_para is None:
+        from ..ops.gmm import init_gmixture
+
+        # GMPara.reset(nchannels + 2) (OpticalFlow.cpp:858-859); raw-channel
+        # count + 2 equals the feature channel count for 1/3-channel inputs.
+        lap_para = init_gmixture(im1.shape[0], u.dtype)
 
     def outer_body(carry):
-        u, v, warp_im2, lap_para = carry
+        u, v, warp_im2, noise = carry
         imdx, imdy, imdt = get_dxs(im1, warp_im2)
         du = jnp.zeros_like(u)
         dv = jnp.zeros_like(v)
         for _ in range(n_inner):
+            if gmixture:
+                from ..ops.gmm import psi_weight_gmixture
+
+                psi_fn = lambda *a, **k: psi_weight_gmixture(*a[:5], noise)  # noqa: E731
+            else:
+                psi_fn = None
             system = build_sor_system(
                 u, v, du, dv, imdx, imdy, imdt, params,
-                lap_para=lap_para if track_noise else None,
+                lap_para=None if gmixture else (noise if track_noise else None),
+                psi_fn=psi_fn,
             )
             du, dv = sor_solve(system, n_sor, params)
         u = u + du
@@ -199,14 +220,18 @@ def smooth_flow_sor(
             warp_im2 = warp_bilinear(im1, im2, u, v)
         else:
             warp_im2 = threshold01(warp_bicubic_ref(im1, im2, u, v))
-        if track_noise and params.noise_model == NoiseModel.LAPLACIAN:
-            lap_para = est_laplacian_noise(im1, warp_im2).astype(lap_para.dtype)
-        return u, v, warp_im2, lap_para
+        if gmixture:
+            from ..ops.gmm import est_gaussian_mixture
+
+            noise = est_gaussian_mixture(im1, warp_im2, noise)
+        elif track_noise and params.noise_model == NoiseModel.LAPLACIAN:
+            noise = est_laplacian_noise(im1, warp_im2).astype(noise.dtype)
+        return u, v, warp_im2, noise
 
     carry = (u, v, warp_im2,
              lap_para if track_noise else jnp.zeros((im1.shape[0],), u.dtype))
     carry = jax.lax.fori_loop(
         0, n_outer, lambda _, c: outer_body(c), carry
     )
-    u, v, warp_im2, lap_para = carry
-    return u, v, warp_im2, (lap_para if track_noise else None)
+    u, v, warp_im2, noise = carry
+    return u, v, warp_im2, (noise if track_noise else None)

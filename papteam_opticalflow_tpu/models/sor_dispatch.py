@@ -23,6 +23,10 @@ def _pallas_available() -> bool:
 def sor_solve(
     system: SorSystem, n_iterations: int, params: FlowParams
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if params.solver == "cg":
+        from .solver_cg import cg_solve
+
+        return cg_solve(system, n_iterations, params)
     if params.use_pallas_sor and params.sor_red_black and _pallas_available():
         from ..ops.pallas.sor import sor_fits_vmem, sor_solve_pallas
 

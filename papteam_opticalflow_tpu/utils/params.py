@@ -83,6 +83,11 @@ class FlowParams:
     # estimate only feeds a `< 1e-20` guard that never fires in practice, so
     # the fast path may skip it entirely without changing results.
     estimate_laplacian_noise: bool = False
+    # Linear solver for the inner system: "sor" (red-black, the reference's
+    # default path) or "cg" (matrix-free conjugate gradient — the
+    # SmoothFlowPDE capability the reference declares but removed,
+    # Matrix.h:443-500).
+    solver: str = "sor"
     # Checkerboard ordering replaces the reference's nondeterministic chaotic
     # OpenMP Gauss-Seidel (OpticalFlow.cpp:469-520) with deterministic
     # red-black sweeps; both converge to the same fixed point.
@@ -90,6 +95,12 @@ class FlowParams:
     # Use the fused Pallas SOR kernel where the level fits in VMEM;
     # fall back to the XLA (jnp) red-black implementation otherwise.
     use_pallas_sor: bool = True
+
+    def __post_init__(self):
+        if self.solver not in ("sor", "cg"):
+            raise ValueError(
+                f"FlowParams.solver must be 'sor' or 'cg', got {self.solver!r}"
+            )
 
     def level_schedule(self, level: int) -> Tuple[int, int, int]:
         """(n_outer, n_inner, n_sor) for pyramid level ``level``
