@@ -67,13 +67,14 @@ def neighbor_weights(phi: jnp.ndarray):
 
 def _neighbor_sum(x, wl, wr, wu, wd):
     """sum_nbr w_nbr * x[nbr] with zero-padded shifts (border weights are
-    already zero)."""
-    z_col = jnp.zeros_like(x[..., :, :1])
-    z_row = jnp.zeros_like(x[..., :1, :])
-    left = jnp.concatenate([z_col, x[..., :, :-1]], axis=-1)
-    right = jnp.concatenate([x[..., :, 1:], z_col], axis=-1)
-    up = jnp.concatenate([z_row, x[..., :-1, :]], axis=-2)
-    down = jnp.concatenate([x[..., 1:, :], z_row], axis=-2)
+    already zero).  Shifts are four slices of ONE zero-padded buffer so XLA
+    fuses the whole half-sweep into a single HBM pass."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad)
+    left = xp[..., 1:-1, :-2]
+    right = xp[..., 1:-1, 2:]
+    up = xp[..., :-2, 1:-1]
+    down = xp[..., 2:, 1:-1]
     return wl * left + wr * right + wu * up + wd * down
 
 
@@ -187,6 +188,13 @@ def smooth_flow_sor(
     """
     from .sor_dispatch import sor_solve  # late import to avoid cycle
 
+    from ..ops.interp import pack_patch2x2
+
+    # im2 is warped once per outer iteration with the updated flow; its 2x2
+    # patch pack is flow-independent, so build it once for the whole level
+    # (one gather per pixel per warp instead of four).
+    im2_pack = pack_patch2x2(im2)
+
     gmixture = params.noise_model == NoiseModel.GAUSSIAN_MIXTURE
     track_noise = lap_para is not None or gmixture
     if gmixture and lap_para is None:
@@ -217,7 +225,7 @@ def smooth_flow_sor(
         u = u + du
         v = v + dv
         if params.interpolation == Interpolation.BILINEAR:
-            warp_im2 = warp_bilinear(im1, im2, u, v)
+            warp_im2 = warp_bilinear(im1, im2, u, v, im2_pack=im2_pack)
         else:
             warp_im2 = threshold01(warp_bicubic_ref(im1, im2, u, v))
         if gmixture:

