@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,6 +118,80 @@ def dx_5tap(x: jnp.ndarray) -> jnp.ndarray:
 def dy_5tap(x: jnp.ndarray) -> jnp.ndarray:
     """5-tap y-derivative with clamp boundary (``Image.h:1042-1045``)."""
     return correlate1d(x, DERIVATIVE_5TAP, axis=-2)
+
+
+def dxx(x: jnp.ndarray) -> jnp.ndarray:
+    """Negated second x-derivative ``2 x[j] - x[j-1] - x[j+1]`` with the
+    reference's border cases (``Image.h:1066-1108``: first/last column use the
+    single interior neighbor).  Equivalent to clamp-boundary correlation with
+    ``[-1, 2, -1]``."""
+    return correlate1d(x, (-1.0, 2.0, -1.0), axis=-1)
+
+
+def dyy(x: jnp.ndarray) -> jnp.ndarray:
+    """Negated second y-derivative (``Image.h:1112-1155``)."""
+    return correlate1d(x, (-1.0, 2.0, -1.0), axis=-2)
+
+
+def laplacian_4n(x: jnp.ndarray) -> jnp.ndarray:
+    """Unweighted negated 4-neighbor Laplacian with the reference's explicit
+    corner (2 neighbors) and border (3 neighbors) cases
+    (``ImageProcessing::Laplacian``, ``ImageProcessing.h:317-351``), which
+    coincide with the clamp-boundary sum of the two 1-D second differences.
+    Unused on the flow hot path (the weighted variant in ops/laplacian.py is);
+    provided for ``Image::laplacian`` parity (``Image.h:1161-1166``)."""
+    return dxx(x) + dyy(x)
+
+
+def gradientmag(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel gradient magnitude ``sqrt(sum_c Ix^2 + Iy^2)`` over channels
+    using the 5-tap derivatives (``Image.h:1175-1199``).  ``x``: ``(C, H, W)``
+    or ``(H, W)``; returns ``(H, W)``."""
+    ix = dx_5tap(x)
+    iy = dy_5tap(x)
+    mag2 = ix * ix + iy * iy
+    if x.ndim > 2:
+        mag2 = mag2.sum(axis=-3)
+    return jnp.sqrt(mag2)
+
+
+def filter2d(x: jnp.ndarray, kernel) -> jnp.ndarray:
+    """Dense 2-D clamp-boundary correlation with an odd ``(2f+1, 2f+1)``
+    kernel (``ImageProcessing::filtering``, ``ImageProcessing.h:414-442``).
+    Backs ``Image::imfilter`` / ``Image::smoothing``."""
+    kernel = np.asarray(kernel, dtype=np.float64)
+    fsize = (kernel.shape[0] - 1) // 2
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(fsize, fsize), (fsize, fsize)]
+    xp = jnp.pad(x, pad, mode="edge")
+    out = None
+    for di in range(kernel.shape[0]):
+        for dj in range(kernel.shape[1]):
+            wgt = kernel[di, dj]
+            if wgt == 0.0:
+                continue
+            term = xp[..., di : di + h, dj : dj + w] * x.dtype.type(wgt)
+            out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(x)
+
+
+def correlate1d_adjoint(y: jnp.ndarray, taps: Sequence[float], axis: int) -> jnp.ndarray:
+    """Scatter-add adjoint of ``correlate1d`` — the reference's
+    ``hfiltering_transpose`` (axis=-1) / ``vfiltering_transpose`` (axis=-2)
+    (``ImageProcessing.h:292-313, 387-408``).  In JAX the adjoint IS the
+    linear transpose of the forward stencil, so it is derived rather than
+    hand-written — border scatter semantics match by construction."""
+    fwd = lambda x: correlate1d(x, taps, axis)  # noqa: E731
+    (out,) = jax.linear_transpose(fwd, jnp.zeros_like(y))(y)
+    return out
+
+
+def filter2d_adjoint(y: jnp.ndarray, kernel) -> jnp.ndarray:
+    """Adjoint of ``filter2d`` (``ImageProcessing::filtering_transpose``,
+    ``ImageProcessing.h:444-468``), via ``jax.linear_transpose``."""
+    fwd = lambda x: filter2d(x, kernel)  # noqa: E731
+    (out,) = jax.linear_transpose(fwd, jnp.zeros_like(y))(y)
+    return out
 
 
 def gaussian_taps(sigma: float, fsize: int) -> np.ndarray:

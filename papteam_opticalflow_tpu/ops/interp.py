@@ -152,6 +152,79 @@ def bilinear_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     return v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
 
 
+def bilinear_scatter(
+    values: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, h: int, w: int
+) -> jnp.ndarray:
+    """Scatter-add adjoint of ``bilinear_gather`` — the reference's
+    ``BilinearInterpolate_transpose`` (``ImageProcessing.h:186-206``), which
+    deposits each input value onto its four clamped corner pixels with the
+    bilinear weights.  Derived as the linear transpose of the forward gather
+    so corner-clamping accumulation matches by construction.
+
+    ``values``: ``(..., *S)`` as returned by ``bilinear_gather``; returns the
+    ``(..., h, w)`` accumulated image.
+    """
+    lead = values.shape[: values.ndim - x.ndim]
+    dtype = values.dtype
+    xx = jnp.trunc(x)
+    yy = jnp.trunc(y)
+    fx = jnp.clip((x - xx).astype(dtype), 0, 1)
+    fy = jnp.clip((y - yy).astype(dtype), 0, 1)
+    xx = xx.astype(jnp.int32)
+    yy = yy.astype(jnp.int32)
+    out = jnp.zeros((*lead, h, w), dtype)
+    for m, n, wgt in (
+        (0, 0, (1 - fx) * (1 - fy)),
+        (1, 0, fx * (1 - fy)),
+        (0, 1, (1 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        xi = jnp.clip(xx + m, 0, w - 1)
+        yi = jnp.clip(yy + n, 0, h - 1)
+        out = out.at[..., yi, xi].add(values * wgt)
+    return out
+
+
+def sample_patch(
+    img: jnp.ndarray, x0, y0, wsize: int
+) -> jnp.ndarray:
+    """Bilinear ``(2*wsize+1)^2`` patch around ``(x0, y0)``
+    (``ImageProcessing::getPatch``, ``ImageProcessing.h:474-489``): window
+    positions that fall outside the image remain zero (the reference skips
+    them into a pre-cleared buffer); in-bounds positions sample with the
+    clamped bilinear gather.
+
+    ``img``: ``(..., H, W)``; returns ``(..., 2*wsize+1, 2*wsize+1)``.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    ftype = img.dtype if img.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    offs = jnp.arange(-wsize, wsize + 1, dtype=ftype)
+    x = jnp.asarray(x0, ftype) + offs[None, :]
+    y = jnp.asarray(y0, ftype) + offs[:, None]
+    xg = jnp.broadcast_to(x, (2 * wsize + 1, 2 * wsize + 1))
+    yg = jnp.broadcast_to(y, (2 * wsize + 1, 2 * wsize + 1))
+    oob = (xg < 0) | (xg > w - 1) | (yg < 0) | (yg > h - 1)
+    patch = bilinear_gather(img, xg, yg)
+    return jnp.where(oob, jnp.zeros((), img.dtype), patch)
+
+
+def crop_image(
+    img: jnp.ndarray, left: int, top: int, dst_w: int, dst_h: int
+) -> jnp.ndarray:
+    """Rectangular crop (``ImageProcessing::cropImage``,
+    ``ImageProcessing.h:661-679``).  ``img``: ``(..., H, W)``."""
+    return img[..., top : top + dst_h, left : left + dst_w]
+
+
+def warp_bilinear_flow(
+    im1: jnp.ndarray, im2: jnp.ndarray, flow: jnp.ndarray
+) -> jnp.ndarray:
+    """``warpImageFlow`` (``ImageProcessing.h:522-546``): backward warp with
+    an interleaved flow field.  ``flow``: ``(H, W, 2)`` ordered ``(vx, vy)``
+    as in the reference's 2-channel layout."""
+    return warp_bilinear(im1, im2, flow[..., 0], flow[..., 1])
+
+
 def resize_shape(src_h: int, src_w: int, ratio: float) -> Tuple[int, int]:
     """Destination size of the ratio-driven resize: ``int(src * ratio)``
     with C double-multiply truncation (``ImageProcessing.h:217-218``)."""

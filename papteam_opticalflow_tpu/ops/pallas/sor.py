@@ -28,11 +28,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Whole-level-resident admission gate.  Measured on v5e: the compiled
-# kernel's scoped VMEM footprint is ~82 bytes/pixel (6 coefficient planes +
-# 2 double-buffered iterates + mosaic loop temporaries), e.g. 341x607 ->
-# 16.92 MB.  Keep ~7% headroom under the 16 MB scoped limit.
+# kernel's scoped VMEM footprint is ~127 bytes/pixel (6 coefficient planes +
+# 2 iterates + Mosaic temporaries for the rolled neighbor sums), e.g.
+# 303x540 f32 -> 20.85 MB reported by the compiler against the 16 MB scoped
+# limit.  Budget at 32 f32-planes/pixel with headroom so a fresh compile
+# (no cache) never hits the scoped-vmem OOM.
 _VMEM_BUDGET_BYTES = 15 * 1024 * 1024
-_PLANES = 21
+_PLANES = 32
 
 
 def sor_fits_vmem(h: int, w: int, dtype) -> bool:
