@@ -8,7 +8,8 @@ on THIS machine (tools/measure_baseline.py -> BASELINE_MEASURED.json); the
 reference repo publishes no numbers of its own (BASELINE.md).
 
 Config via env:
-  BENCH_CONFIG=960:8   (<width_px>:<pyramid_levels>), default 960:8
+  BENCH_CONFIG=960:8:4 (<width_px>:<pyramid_levels>[:<batch>]), default 960:8:4
+  batch>1 vmaps consecutive frame pairs into one dispatch (single chip)
   BENCH_ITERS=5
 """
 
@@ -34,47 +35,78 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def load_pair(width_px: int):
+def load_pairs(width_px: int, n: int = 1):
+    """``n`` distinct consecutive frame pairs as two (n, H, W, 3) stacks."""
     from papteam_opticalflow_tpu.data.discovery import FramePairGenerator
     from PIL import Image
 
     gen = FramePairGenerator("/root/reference")
     name = f"HoChiMinhTraffic_10FPS_{width_px}"
     if name in gen.collections:
-        pair = gen.pairs_from_collection(name)[1]
-        a = np.asarray(Image.open(pair.before.path)).astype(np.float32) / 255.0
-        b = np.asarray(Image.open(pair.after.path)).astype(np.float32) / 255.0
+        pairs = gen.pairs_from_collection(name)
+        idx = [1 + (i % (len(pairs) - 1)) for i in range(n)]
+        a = np.stack([
+            np.asarray(Image.open(pairs[i].before.path), dtype=np.float32) / 255.0
+            for i in idx
+        ])
+        b = np.stack([
+            np.asarray(Image.open(pairs[i].after.path), dtype=np.float32) / 255.0
+            for i in idx
+        ])
         return a, b
     # Dataset not mounted: synthesize frames at the canonical size.
     h = {240: 135, 480: 270, 960: 540, 1920: 1080}.get(width_px, width_px * 9 // 16)
     rng = np.random.default_rng(0)
-    a = rng.random((h, width_px, 3), dtype=np.float32)
-    b = np.roll(a, 2, axis=1)
+    a = rng.random((n, h, width_px, 3), dtype=np.float32)
+    b = np.roll(a, 2, axis=2)
     return a, b
 
 
-def bench_config(width_px: int, levels: int, iters: int):
+def load_pair(width_px: int):
+    a, b = load_pairs(width_px, 1)
+    return a[0], b[0]
+
+
+def bench_config(width_px: int, levels: int, iters: int, batch: int = 1):
     from papteam_opticalflow_tpu.models.coarse2fine import (
         coarse2fine_flow_chw,
         to_chw,
     )
 
-    a, b = load_pair(width_px)
-    x1 = to_chw(a, dtype=jnp.float32)
-    x2 = to_chw(b, dtype=jnp.float32)
-    log(f"bench: {width_px}px P{levels} on {jax.devices()[0]}")
+    a, b = load_pairs(width_px, batch)
+    if batch > 1:
+        # Single-chip frame batching: distinct consecutive dataset pairs
+        # vmapped into one dispatch (papteam_opticalflow_tpu.parallel.batch).
+        x1 = jnp.stack([to_chw(f, dtype=jnp.float32) for f in a])
+        x2 = jnp.stack([to_chw(f, dtype=jnp.float32) for f in b])
+    else:
+        x1 = to_chw(a[0], dtype=jnp.float32)
+        x2 = to_chw(b[0], dtype=jnp.float32)
+    log(f"bench: {width_px}px P{levels} batch={batch} on {jax.devices()[0]}")
 
     # NOTE: on the axon platform block_until_ready does not actually block;
-    # fetching an output element is the only reliable completion barrier.
+    # fetching an output value is the only reliable completion barrier.  The
+    # finiteness check runs on device so the barrier fetch is one scalar,
+    # not the full flow field (the tunneled host link adds ~25 ms/MB that
+    # has nothing to do with engine throughput).
     def run_once():
-        out = coarse2fine_flow_chw(x1, x2, levels)
-        u = np.asarray(out[0])
-        if not np.isfinite(u).all():
+        if batch > 1:
+            from papteam_opticalflow_tpu.parallel.batch import (
+                mapped_coarse2fine_flow,
+            )
+            from papteam_opticalflow_tpu.utils.params import DEFAULT_PARAMS
+
+            out = mapped_coarse2fine_flow(x1, x2, levels, DEFAULT_PARAMS)
+        else:
+            out = coarse2fine_flow_chw(x1, x2, levels)
+        if not bool(jnp.isfinite(out[0]).all()):
             raise RuntimeError("non-finite flow")
-        return u
+        return out[0]
 
     t0 = time.perf_counter()
-    run_once()
+    u = np.asarray(run_once())  # full fetch once: validates real output
+    if not np.isfinite(u).all():
+        raise RuntimeError("non-finite flow")
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     times = []
@@ -82,7 +114,7 @@ def bench_config(width_px: int, levels: int, iters: int):
         t0 = time.perf_counter()
         run_once()
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = min(times) / batch
     fps = 1.0 / best
     log(f"per-pair: best {best * 1e3:.1f} ms, all {[f'{t*1e3:.1f}' for t in times]}")
 
@@ -97,7 +129,8 @@ def bench_config(width_px: int, levels: int, iters: int):
             log(f"reference serial: {ref_s:.2f}s/pair -> speedup {vs_baseline:.1f}x")
 
     return {
-        "metric": f"frames_per_sec_{width_px}px_P{levels}",
+        "metric": f"frames_per_sec_{width_px}px_P{levels}"
+        + (f"_b{batch}" if batch > 1 else ""),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
@@ -111,9 +144,9 @@ class _Watchdog(Exception):
 def main():
     import signal
 
-    width_px, levels = (
-        int(x) for x in os.environ.get("BENCH_CONFIG", "960:8").split(":")
-    )
+    cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "960:8:4").split(":")]
+    width_px, levels = cfg[0], cfg[1]
+    batch = cfg[2] if len(cfg) > 2 else 1
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     per_attempt_s = int(os.environ.get("BENCH_TIMEOUT", "900"))
 
@@ -124,20 +157,25 @@ def main():
 
     # The tunneled TPU worker occasionally crashes or hangs and needs ~1-3
     # min to restart; bound each attempt with an alarm, retry, then fall
-    # back to a smaller config so the driver always records a number.
-    attempts = [(width_px, levels), (width_px, levels), (480, 4)]
+    # back to smaller configs so the driver always records a number.
+    attempts = [
+        (width_px, levels, batch),
+        (width_px, levels, batch),
+        (width_px, levels, 1),
+        (480, 4, 1),
+    ]
     last_err = None
-    for w_px, lv in attempts:
+    for w_px, lv, bb in attempts:
         try:
             signal.alarm(per_attempt_s)
-            result = bench_config(w_px, lv, iters)
+            result = bench_config(w_px, lv, iters, batch=bb)
             signal.alarm(0)
             print(json.dumps(result))
             return
         except Exception as e:  # noqa: BLE001
             signal.alarm(0)
             last_err = e
-            log(f"bench {w_px}:{lv} failed ({e}); retrying after cooldown")
+            log(f"bench {w_px}:{lv}:{bb} failed ({e}); retrying after cooldown")
             time.sleep(90)
     raise SystemExit(f"bench failed: {last_err}")
 

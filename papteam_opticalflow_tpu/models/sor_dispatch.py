@@ -27,7 +27,12 @@ def sor_solve(
         from .solver_cg import cg_solve
 
         return cg_solve(system, n_iterations, params)
-    if params.use_pallas_sor and params.sor_red_black and _pallas_available():
+    if (
+        params.use_pallas_sor
+        and params.sor_red_black
+        and system.phi.ndim == 2  # kernel is unbatched; vmap takes XLA path
+        and _pallas_available()
+    ):
         from ..ops.pallas.sor import sor_fits_vmem, sor_solve_pallas
 
         h, w = system.phi.shape[-2], system.phi.shape[-1]

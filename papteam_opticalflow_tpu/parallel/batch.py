@@ -23,6 +23,45 @@ from ..utils.params import FlowParams
 from .tiled import pair_flow_tiled
 
 
+@functools.partial(jax.jit, static_argnames=("pyramid_levels", "params"))
+def vmapped_coarse2fine_flow(
+    im1s: jnp.ndarray,
+    im2s: jnp.ndarray,
+    pyramid_levels: int,
+    params: FlowParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flow for a batch of pairs ``(B, C, H, W)`` on ONE chip via ``vmap``.
+
+    vmap widens every kernel by the batch dimension; the per-batch warp
+    gathers unroll at trace time (see ``ops.interp._gather2d_vmap``), so
+    trace/compile time grows with ``B`` — prefer ``mapped_coarse2fine_flow``
+    for large batches.  The SOR dispatch automatically takes the XLA
+    red-black path (the fused Pallas kernel is unbatched).
+    """
+    fn = lambda a, b: _coarse2fine_impl(a, b, pyramid_levels, params)  # noqa: E731
+    return jax.vmap(fn)(im1s, im2s)
+
+
+@functools.partial(jax.jit, static_argnames=("pyramid_levels", "params"))
+def mapped_coarse2fine_flow(
+    im1s: jnp.ndarray,
+    im2s: jnp.ndarray,
+    pyramid_levels: int,
+    params: FlowParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flow for a batch of pairs ``(B, C, H, W)`` on ONE chip via
+    ``lax.map``: pairs run sequentially on-device inside ONE dispatch.
+
+    This is the single-chip throughput configuration: each pair runs the
+    exact single-pair program (fast 2-D warp gathers, Pallas SOR at small
+    levels) while the per-dispatch host/runtime overhead (~25 ms on the
+    tunneled platform) amortizes over the batch.  Traces the body once, so
+    compile time is batch-size independent.
+    """
+    fn = lambda ab: _coarse2fine_impl(ab[0], ab[1], pyramid_levels, params)  # noqa: E731
+    return jax.lax.map(fn, (im1s, im2s))
+
+
 @functools.partial(
     jax.jit, static_argnames=("pyramid_levels", "params", "mesh")
 )

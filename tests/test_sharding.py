@@ -90,6 +90,18 @@ class TestBatched:
                 err_msg=f"mesh ({nf},{nt})",
             )
 
+    def test_vmapped_single_chip_matches_unbatched(self):
+        from papteam_opticalflow_tpu.parallel.batch import vmapped_coarse2fine_flow
+
+        b = 3
+        im1s = jnp.asarray(RNG.random((b, 3, 33, 48)))
+        im2s = jnp.asarray(np.roll(np.asarray(im1s), 1, axis=3))
+        u, v, w = vmapped_coarse2fine_flow(im1s, im2s, 2, PARAMS)
+        for i in range(b):
+            u0, v0, w0 = coarse2fine_flow_chw(im1s[i], im2s[i], 2, PARAMS)
+            np.testing.assert_allclose(np.asarray(u[i]), np.asarray(u0), atol=1e-10)
+            np.testing.assert_allclose(np.asarray(w[i]), np.asarray(w0), atol=1e-10)
+
     def test_batch_not_divisible_raises(self):
         im1s = jnp.asarray(RNG.random((3, 3, 16, 16)))
         with pytest.raises(AssertionError):
