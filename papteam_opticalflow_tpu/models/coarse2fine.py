@@ -41,8 +41,15 @@ def _coarse2fine_impl(
     ``warp_i2``: ``(C, H, W)``.
     """
     ratio = clamp_ratio(params.ratio)
-    pyr1 = build_pyramid(im1, ratio, pyramid_levels)
-    pyr2 = build_pyramid(im2, ratio, pyramid_levels)
+    # Optional bf16 image path: pyramid/feature/warp planes store bf16
+    # (halved HBM traffic); flow fields and the SOR system stay in the
+    # input float dtype (see FlowParams.image_dtype).
+    if params.image_dtype == "bfloat16":
+        pyr1 = build_pyramid(im1.astype(jnp.bfloat16), ratio, pyramid_levels)
+        pyr2 = build_pyramid(im2.astype(jnp.bfloat16), ratio, pyramid_levels)
+    else:
+        pyr1 = build_pyramid(im1, ratio, pyramid_levels)
+        pyr2 = build_pyramid(im2, ratio, pyramid_levels)
 
     t = im1.dtype.type
     # Noise-model state initialized once before the level loop

@@ -104,6 +104,11 @@ def build_sor_system(
     default is the Laplacian-model Psi."""
     t = u.dtype.type
     alpha = t(params.alpha)
+    # bf16 image path: the data-term derivatives come in as bf16; the robust
+    # weights and SOR system are always built in the flow dtype.
+    imdx = imdx.astype(u.dtype)
+    imdy = imdy.astype(u.dtype)
+    imdt = imdt.astype(u.dtype)
     uu = u + du
     vv = v + dv
     ux, uy = dx_forward(uu), dy_forward(uu)

@@ -68,9 +68,13 @@ def get_dxs(im1: jnp.ndarray, im2: jnp.ndarray):
 
     Returns ``(imdx, imdy, imdt)`` with the input ``(C, H, W)`` shape.
     """
-    t = im1.dtype.type
-    im1s = correlate_hv(im1, PRESMOOTH_5TAP, PRESMOOTH_5TAP)
-    im2s = correlate_hv(im2, PRESMOOTH_5TAP, PRESMOOTH_5TAP)
+    # bf16 image path: the temporal difference is a small difference of
+    # O(0.5) intensities — catastrophic in bf16 — so the derivatives are
+    # always computed in >= float32 (inputs may still be stored bf16).
+    ftype = im1.dtype if im1.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    t = ftype.type if hasattr(ftype, "type") else ftype
+    im1s = correlate_hv(im1.astype(ftype), PRESMOOTH_5TAP, PRESMOOTH_5TAP)
+    im2s = correlate_hv(im2.astype(ftype), PRESMOOTH_5TAP, PRESMOOTH_5TAP)
     blend = im1s * t(0.4) + im2s * t(0.6)
     imdx = dx_5tap(blend)
     imdy = dy_5tap(blend)

@@ -95,11 +95,25 @@ class FlowParams:
     # Use the fused Pallas SOR kernel where the level fits in VMEM;
     # fall back to the XLA (jnp) red-black implementation otherwise.
     use_pallas_sor: bool = True
+    # Storage dtype for the pyramid/feature/warp IMAGES on the hot path
+    # ("float32" or "bfloat16").  bfloat16 halves HBM traffic of the
+    # image-plane passes; flow fields, warp coordinates, and the SOR system
+    # always stay in the input float dtype, and the final full-resolution
+    # bicubic warp uses the raw frames, so accuracy cost is bounded by the
+    # ~0.4% bf16 quantization of image intensities (measured ~1e-2 px EPE
+    # vs float32 — far inside the 0.1 px budget, but NOT bit-parity; keep
+    # the default for oracle comparisons).
+    image_dtype: str = "float32"
 
     def __post_init__(self):
         if self.solver not in ("sor", "cg"):
             raise ValueError(
                 f"FlowParams.solver must be 'sor' or 'cg', got {self.solver!r}"
+            )
+        if self.image_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "FlowParams.image_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.image_dtype!r}"
             )
 
     def level_schedule(self, level: int) -> Tuple[int, int, int]:

@@ -102,6 +102,29 @@ class TestBicubicFeedback:
         assert bool(jnp.isfinite(u).all())
 
 
+class TestBF16ImagePath:
+    def test_bf16_close_to_f32(self):
+        # image_dtype="bfloat16" stores image planes in bf16 while the flow
+        # fields / SOR system / warp coordinates stay in the input dtype;
+        # drift vs the f32 path must stay well inside the 0.1 px EPE budget
+        # (measured ~1e-2 px on real frames).
+        im1, im2 = make_pair()
+        im1 = im1.astype(jnp.float32)
+        im2 = im2.astype(jnp.float32)
+        u0, v0, _ = coarse2fine_flow_chw(im1, im2, 2, FlowParams())
+        params = FlowParams(image_dtype="bfloat16")
+        u1, v1, w1 = coarse2fine_flow_chw(im1, im2, 2, params)
+        assert w1.dtype == jnp.float32  # final warp uses raw frames
+        err = np.hypot(
+            np.asarray(u1 - u0, np.float64), np.asarray(v1 - v0, np.float64)
+        ).mean()
+        assert err < 0.05, err
+
+    def test_invalid_dtype_rejected(self):
+        with pytest.raises(ValueError):
+            FlowParams(image_dtype="float16")
+
+
 class TestMinWidthPyramid:
     def test_level_count_matches_reference_arithmetic(self):
         import math
