@@ -30,12 +30,16 @@ def sor_solve(
     if (
         params.use_pallas_sor
         and params.sor_red_black
-        and system.phi.ndim == 2  # kernel is unbatched; vmap takes XLA path
+        and system.phi.ndim == 2  # kernels are unbatched; vmap takes XLA path
         and _pallas_available()
     ):
         from ..ops.pallas.sor import sor_fits_vmem, sor_solve_pallas
+        from ..ops.pallas.sor_blocked import plan_blocking, sor_solve_blocked
 
         h, w = system.phi.shape[-2], system.phi.shape[-1]
         if sor_fits_vmem(h, w, system.phi.dtype):
             return sor_solve_pallas(system, n_iterations, params)
+        plan = plan_blocking(h, w, system.phi.dtype.itemsize)
+        if plan is not None:
+            return sor_solve_blocked(system, n_iterations, params, plan)
     return sor_solve_jnp(system, n_iterations, params)
