@@ -72,6 +72,30 @@ def _flow_chw(im1_chw, im2_chw, levels: int, params: FlowParams):
     return timing, u, v
 
 
+def _flow_chw_batch(im1s_chw, im2s_chw, levels: int, params: FlowParams):
+    """A batch of pairs in ONE device dispatch (``lax.map`` on-chip);
+    returns (per-pair timing dicts, u stack, v stack)."""
+    import jax.numpy as jnp
+
+    from ..parallel.batch import mapped_coarse2fine_flow
+
+    start = time.perf_counter()
+    u, v, _w = mapped_coarse2fine_flow(
+        jnp.asarray(np.stack(im1s_chw)),
+        jnp.asarray(np.stack(im2s_chw)),
+        levels,
+        params,
+    )
+    u = np.asarray(u)  # completion barrier (axon ignores block_until_ready)
+    v = np.asarray(v)
+    per = (time.perf_counter() - start) / len(im1s_chw)
+    timing = {
+        "Total Device Execution": str(per),
+        "Total C++ Execution": str(per),
+    }
+    return [dict(timing) for _ in im1s_chw], u, v
+
+
 def run_sweep(args) -> dict:
     gen = FramePairGenerator(args.root)
     if args.collections:
@@ -106,37 +130,30 @@ def run_sweep(args) -> dict:
             if args.images_per_collection >= 1:
                 pairs = pairs[: args.images_per_collection]
             for levels in args.pyramid_levels:
+              # Batch progression = the TPU analogue of the reference's
+              # threadProgression sweep (``TestSuite.py:93``): the
+              # parallelism knob is pairs-per-dispatch, not thread count.
+              for batch in (getattr(args, "batch_progression", None) or [1]):
                 img_dir = (
                     out_dir / f"{collection}{args.suffix}" / f"images_P{levels}"
                 )
-                todo = [
-                    p for p in pairs
-                    if f"{collection}|P{levels}|{p.before.path.name}|rep{_rep}"
-                    not in done
-                ]
+                btag = f"|b{batch}" if batch > 1 else ""
+
+                def key_of(p):
+                    return (
+                        f"{collection}|P{levels}|{p.before.path.name}"
+                        f"|rep{_rep}{btag}"
+                    )
+
+                todo = [p for p in pairs if key_of(p) not in done]
                 stats["skipped"] += len(pairs) - len(todo)
                 loader = PrefetchingPairLoader(n_threads=args.loader_threads)
                 frames = loader.iter_pairs(
                     [(p.before.path, p.after.path) for p in todo]
                 )
-                for pair in todo:
-                    key = f"{collection}|P{levels}|{pair.before.path.name}|rep{_rep}"
-                    try:
-                        im1, im2 = next(frames)
-                    except StopIteration:
-                        break
-                    except IOError as e:
-                        # Corrupt/unreadable frame: record and keep sweeping
-                        # (the native loader pipeline stays usable).
-                        stats["failed"] += 1
-                        timing_jsonl.append(
-                            dict(key=key, status="load_error", error=str(e))
-                        )
-                        continue
-                    print(
-                        f"[{pair.as_storage_string()}] P[{levels}]", flush=True
-                    )
-                    timing, u, v = _flow_chw(im1, im2, levels, params)
+
+                def record_pair(pair, timing, u, v):
+                    key = key_of(pair)
                     # Failure detection the reference lacks (SURVEY.md §5.3):
                     # flag NaN/divergence per frame instead of writing garbage.
                     finite = bool(np.isfinite(u).all() and np.isfinite(v).all())
@@ -151,17 +168,19 @@ def run_sweep(args) -> dict:
                                 max_flow=max_flow,
                             )
                         )
-                        continue
+                        return
                     if not args.no_images:
                         img_dir.mkdir(parents=True, exist_ok=True)
                         save_flow_image(
                             img_dir / f"frame{pair.before.index_string}.jpg", u, v
                         )
-                    timing_tsv.append(timing, collection, n_devices, levels)
+                    timing_tsv.append(
+                        timing, collection, n_devices * batch, levels
+                    )
                     timing_jsonl.append(
                         dict(
                             key=key, status="ok", collection=collection,
-                            levels=levels, devices=n_devices,
+                            levels=levels, devices=n_devices, batch=batch,
                             seconds=float(timing["Total Device Execution"]),
                             max_flow=max_flow,
                         )
@@ -171,6 +190,48 @@ def run_sweep(args) -> dict:
                     manifest_path.write_text(
                         json.dumps({"completed": sorted(done)})
                     )
+
+                idx = 0
+                while idx < len(todo):
+                    group, ims = [], []
+                    while idx < len(todo) and len(group) < batch:
+                        pair = todo[idx]
+                        idx += 1
+                        try:
+                            im1, im2 = next(frames)
+                        except StopIteration:
+                            idx = len(todo)
+                            break
+                        except IOError as e:
+                            # Corrupt/unreadable frame: record and keep
+                            # sweeping (the loader pipeline stays usable).
+                            stats["failed"] += 1
+                            timing_jsonl.append(
+                                dict(key=key_of(pair), status="load_error",
+                                     error=str(e))
+                            )
+                            continue
+                        group.append(pair)
+                        ims.append((im1, im2))
+                    if not group:
+                        continue
+                    print(
+                        f"[{'; '.join(p.as_storage_string() for p in group)}]"
+                        f" P[{levels}]" + (f" B[{batch}]" if batch > 1 else ""),
+                        flush=True,
+                    )
+                    if len(group) == 1:
+                        timing, u, v = _flow_chw(
+                            ims[0][0], ims[0][1], levels, params
+                        )
+                        record_pair(group[0], timing, u, v)
+                    else:
+                        timings, us, vs = _flow_chw_batch(
+                            [a for a, _ in ims], [b for _, b in ims],
+                            levels, params,
+                        )
+                        for pair, timing, u, v in zip(group, timings, us, vs):
+                            record_pair(pair, timing, u, v)
                 loader.close()
     stats["wall_seconds"] = time.perf_counter() - t_begin
     print(f"Program Execution time: {stats['wall_seconds']:.2f}")
@@ -188,6 +249,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="-1 for all pairs")
     p.add_argument("--pyramid-levels", type=int, nargs="+", default=[2, 4, 8, 15])
     p.add_argument("--repetitions", type=int, default=1)
+    p.add_argument("--batch-progression", type=int, nargs="+", default=[1],
+                   help="pairs per device dispatch to sweep — the TPU "
+                        "analogue of the reference's threadProgression "
+                        "(TestSuite.py:93)")
     p.add_argument("--suffix", default="_tpu")
     p.add_argument("--output", default="output")
     p.add_argument("--resume", action="store_true",

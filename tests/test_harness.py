@@ -95,6 +95,35 @@ class TestSweepCLI:
         stats = testsuite.run_sweep(args)
         assert stats["completed"] == 0 and stats["skipped"] == 1
 
+    def test_batch_progression_sweep(self, tmp_path):
+        """--batch-progression sweeps pairs-per-dispatch (the TPU analogue
+        of the reference threadProgression, ``TestSuite.py:93``); batched
+        work items are keyed separately and per-pair timings recorded."""
+        from papteam_opticalflow_tpu.harness import testsuite
+
+        argv = [
+            "--root", str(REF_ROOT),
+            "--collections", "HoChiMinhTraffic_10FPS_240",
+            "--images-per-collection", "3",
+            "--pyramid-levels", "2",
+            "--batch-progression", "1", "2",
+            "--output", str(tmp_path),
+            "--no-images",
+        ]
+        args = testsuite.build_parser().parse_args(argv)
+        stats = testsuite.run_sweep(args)
+        # 3 pairs at b=1 plus 3 pairs at b=2 (a full group of 2 + remainder).
+        assert stats["completed"] == 6 and stats["failed"] == 0
+        records = [
+            json.loads(line)
+            for line in (tmp_path / "timing.jsonl").read_text().splitlines()
+        ]
+        by_batch = {}
+        for r in records:
+            by_batch.setdefault(r["batch"], []).append(r)
+        assert len(by_batch[1]) == 3 and len(by_batch[2]) == 3
+        assert all(r["seconds"] > 0 for r in records)
+
 
 class TestNativeLoader:
     @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
