@@ -8,7 +8,8 @@ on THIS machine (tools/measure_baseline.py -> BASELINE_MEASURED.json); the
 reference repo publishes no numbers of its own (BASELINE.md).
 
 Config via env:
-  BENCH_CONFIG=960:8:4 (<width_px>:<pyramid_levels>[:<batch>]), default 960:8:4
+  BENCH_CONFIG=960:8:8 (<width_px>:<pyramid_levels>[:<batch>]), default 960:8:8
+  (batch=8 measured 137.6 ms/pair vs 140.4 at batch=4 on v5e)
   batch>1 maps consecutive frame pairs into one dispatch (single chip)
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
   fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with ~10x
@@ -156,7 +157,7 @@ class _Watchdog(Exception):
 def main():
     import signal
 
-    cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "960:8:4").split(":")]
+    cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "960:8:8").split(":")]
     width_px, levels = cfg[0], cfg[1]
     batch = cfg[2] if len(cfg) > 2 else 1
     iters = int(os.environ.get("BENCH_ITERS", "5"))

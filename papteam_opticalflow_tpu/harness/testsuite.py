@@ -147,6 +147,7 @@ def run_sweep(args) -> dict:
 
                 todo = [p for p in pairs if key_of(p) not in done]
                 stats["skipped"] += len(pairs) - len(todo)
+                gif_frames = []
                 loader = PrefetchingPairLoader(n_threads=args.loader_threads)
                 frames = loader.iter_pairs(
                     [(p.before.path, p.after.path) for p in todo]
@@ -174,6 +175,10 @@ def run_sweep(args) -> dict:
                         save_flow_image(
                             img_dir / f"frame{pair.before.index_string}.jpg", u, v
                         )
+                    if getattr(args, "gif", False):
+                        from ..utils.viz import flow_to_hsv_image
+
+                        gif_frames.append(flow_to_hsv_image(u, v))
                     timing_tsv.append(
                         timing, collection, n_devices * batch, levels
                     )
@@ -233,6 +238,21 @@ def run_sweep(args) -> dict:
                         for pair, timing, u, v in zip(group, timings, us, vs):
                             record_pair(pair, timing, u, v)
                 loader.close()
+                if gif_frames:
+                    # The reference's per-collection demo artifact
+                    # (images_Video/*/normal_out.gif equivalent).
+                    from PIL import Image
+
+                    gif_dir = out_dir / f"{collection}{args.suffix}"
+                    gif_dir.mkdir(parents=True, exist_ok=True)
+                    ims = [Image.fromarray(f) for f in gif_frames]
+                    ims[0].save(
+                        str(gif_dir / f"flow_P{levels}{btag.replace('|', '_')}.gif"),
+                        save_all=True,
+                        append_images=ims[1:],
+                        duration=100,
+                        loop=0,
+                    )
     stats["wall_seconds"] = time.perf_counter() - t_begin
     print(f"Program Execution time: {stats['wall_seconds']:.2f}")
     return stats
@@ -258,6 +278,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="skip work items recorded in sweep_manifest.json")
     p.add_argument("--no-images", action="store_true")
+    p.add_argument("--gif", action="store_true",
+                   help="assemble each collection's flow sequence into an "
+                        "animated GIF (the reference's normal_out.gif "
+                        "deliverable)")
     p.add_argument("--divergence-threshold", type=float, default=1e4)
     p.add_argument("--loader-threads", type=int, default=2,
                    help="native JPEG-decode worker threads")

@@ -95,6 +95,27 @@ class TestSweepCLI:
         stats = testsuite.run_sweep(args)
         assert stats["completed"] == 0 and stats["skipped"] == 1
 
+    def test_gif_assembly(self, tmp_path):
+        """--gif writes the per-collection animated-flow artifact (the
+        reference's images_Video/*/normal_out.gif deliverable)."""
+        from PIL import Image
+
+        from papteam_opticalflow_tpu.harness import testsuite
+
+        argv = [
+            "--root", str(REF_ROOT),
+            "--collections", "HoChiMinhTraffic_10FPS_240",
+            "--images-per-collection", "3",
+            "--pyramid-levels", "2",
+            "--gif", "--no-images",
+            "--output", str(tmp_path),
+        ]
+        stats = testsuite.run_sweep(testsuite.build_parser().parse_args(argv))
+        assert stats["completed"] == 3
+        gif = tmp_path / "HoChiMinhTraffic_10FPS_240_tpu" / "flow_P2.gif"
+        with Image.open(gif) as im:
+            assert im.is_animated and im.n_frames == 3
+
     def test_batch_progression_sweep(self, tmp_path):
         """--batch-progression sweeps pairs-per-dispatch (the TPU analogue
         of the reference threadProgression, ``TestSuite.py:93``); batched
