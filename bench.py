@@ -8,8 +8,10 @@ on THIS machine (tools/measure_baseline.py -> BASELINE_MEASURED.json); the
 reference repo publishes no numbers of its own (BASELINE.md).
 
 Config via env:
-  BENCH_CONFIG=960:8:8 (<width_px>:<pyramid_levels>[:<batch>]), default 960:8:8
-  (batch=8 measured 137.6 ms/pair vs 140.4 at batch=4 on v5e)
+  BENCH_CONFIG=1920:15:4 (<width_px>:<pyramid_levels>[:<batch>]), default
+  1920:15:4 — the reference's heaviest headline config (TestSuite.py sweep
+  max).  Measured on v5e: 789 ms/pair = 85x the serial C++ baseline
+  (960:8:8 alternative: 137.6 ms/pair = 57x).
   batch>1 maps consecutive frame pairs into one dispatch (single chip)
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
   fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with ~10x
@@ -157,7 +159,7 @@ class _Watchdog(Exception):
 def main():
     import signal
 
-    cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "960:8:8").split(":")]
+    cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "1920:15:4").split(":")]
     width_px, levels = cfg[0], cfg[1]
     batch = cfg[2] if len(cfg) > 2 else 1
     iters = int(os.environ.get("BENCH_ITERS", "5"))
@@ -175,6 +177,7 @@ def main():
         (width_px, levels, batch),
         (width_px, levels, batch),
         (width_px, levels, 1),
+        (960, 8, 1),
         (480, 4, 1),
     ]
     last_err = None
