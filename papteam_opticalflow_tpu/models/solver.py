@@ -151,16 +151,20 @@ def sor_solve_jnp(
     omega = t(params.omega)
     wl, wr, wu, wd = neighbor_weights(phi)
     red = checkerboard(h, w, jnp.bool_)
+    # Divides hoisted out of the sweep loop (same transform as the Pallas
+    # kernels, keeping all backends arithmetically identical).
+    rdx = omega / system.denom_x
+    rdy = omega / system.denom_y
 
     du0 = jnp.zeros_like(phi)
     dv0 = jnp.zeros_like(phi)
 
     def half_sweep(du, dv, mask):
         sigma1 = -alpha * _neighbor_sum(du, wl, wr, wu, wd) + system.imdxy * dv
-        du_new = (1 - omega) * du + omega * (system.rhs_x - sigma1) / system.denom_x
+        du_new = (1 - omega) * du + (system.rhs_x - sigma1) * rdx
         du = jnp.where(mask, du_new, du)
         sigma2 = -alpha * _neighbor_sum(dv, wl, wr, wu, wd) + system.imdxy * du
-        dv_new = (1 - omega) * dv + omega * (system.rhs_y - sigma2) / system.denom_y
+        dv_new = (1 - omega) * dv + (system.rhs_y - sigma2) * rdy
         dv = jnp.where(mask, dv_new, dv)
         return du, dv
 

@@ -61,14 +61,17 @@ def _sor_kernel(
 ):
     phi = phi_ref[:]
     imdxy = imdxy_ref[:]
-    denx = denx_ref[:]
-    deny = deny_ref[:]
     rhsx = rhsx_ref[:]
     rhsy = rhsy_ref[:]
     h, w = phi.shape
     t = phi.dtype.type
     alpha = t(alpha)
     omega = t(omega)
+    # Hoist the divides out of the sweep loop: du update becomes
+    # (1-w)du + (rhs - sigma) * (w/den) — one multiply per point instead of
+    # a divide every half-sweep.
+    rdx = omega / denx_ref[:]
+    rdy = omega / deny_ref[:]
 
     i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -91,9 +94,9 @@ def _sor_kernel(
 
     def half(du, dv, mask):
         sigma1 = -alpha * nbr_sum(du) + imdxy * dv
-        du = jnp.where(mask, (1 - omega) * du + omega * (rhsx - sigma1) / denx, du)
+        du = jnp.where(mask, (1 - omega) * du + (rhsx - sigma1) * rdx, du)
         sigma2 = -alpha * nbr_sum(dv) + imdxy * du
-        dv = jnp.where(mask, (1 - omega) * dv + omega * (rhsy - sigma2) / deny, dv)
+        dv = jnp.where(mask, (1 - omega) * dv + (rhsy - sigma2) * rdy, dv)
         return du, dv
 
     def body(_, carry):

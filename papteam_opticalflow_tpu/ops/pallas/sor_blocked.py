@@ -114,8 +114,6 @@ def _sor_blocked_kernel(
 
     phi = win[0]
     imdxy = win[1]
-    denx = win[2]
-    deny = win[3]
     rhsx = win[4]
     rhsy = win[5]
     du0 = win[6]
@@ -124,6 +122,9 @@ def _sor_blocked_kernel(
     t = phi.dtype.type
     alpha = t(alpha)
     omega = t(omega)
+    # Divides hoisted out of the sweep loop (same transform as sor.py).
+    rdx = omega / win[2]
+    rdy = omega / win[3]
 
     li = jax.lax.broadcasted_iota(jnp.int32, (window_rows, w_pad), 0)
     gi = li + win_start  # global row index
@@ -150,9 +151,9 @@ def _sor_blocked_kernel(
 
     def half(du, dv, mask):
         sigma1 = -alpha * nbr_sum(du) + imdxy * dv
-        du = jnp.where(mask, (1 - omega) * du + omega * (rhsx - sigma1) / denx, du)
+        du = jnp.where(mask, (1 - omega) * du + (rhsx - sigma1) * rdx, du)
         sigma2 = -alpha * nbr_sum(dv) + imdxy * du
-        dv = jnp.where(mask, (1 - omega) * dv + omega * (rhsy - sigma2) / deny, dv)
+        dv = jnp.where(mask, (1 - omega) * dv + (rhsy - sigma2) * rdy, dv)
         return du, dv
 
     def body(_, carry):
