@@ -79,16 +79,18 @@ def batched_coarse2fine_flow(
     row-tiled across it.  ``B`` must be divisible by the ``frame`` axis
     size.  Returns ``(u, v, warpI2)`` with leading batch axis.
     """
+    from .mesh import spatial_axes
+
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_frame = axes.get("frame", 1)
-    tile = "ty" in axes and axes["ty"] > 1
+    tile_axes = spatial_axes(mesh)  # 'ty', ('ty','tx'), or None
     b = im1s.shape[0]
     assert b % n_frame == 0, f"batch {b} not divisible by frame axis {n_frame}"
 
     def one_pair(pair):
         im1, im2 = pair
-        if tile:
-            return pair_flow_tiled(im1, im2, pyramid_levels, params, "ty")
+        if tile_axes is not None:
+            return pair_flow_tiled(im1, im2, pyramid_levels, params, tile_axes)
         return _coarse2fine_impl(im1, im2, pyramid_levels, params)
 
     def per_device(b1, b2):

@@ -175,7 +175,10 @@ def _tiled_level_solver(
     n_sor: int,
     axis_name: str = "ty",
 ):
-    """One pyramid level of SmoothFlowSOR, row-sharded over ``axis_name``.
+    """One pyramid level of SmoothFlowSOR, row-sharded over ``axis_name``
+    (a single mesh axis or an axis-name tuple like ``('ty', 'tx')`` — the
+    collectives flatten composed axes, so a 3-axis §5.8 mesh tiles as finer
+    row bands).
 
     All arguments are FULL (replicated) arrays; the function internally owns
     rows ``[idx*h, (idx+1)*h)`` and returns full (replicated) updated flow.

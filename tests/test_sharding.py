@@ -82,12 +82,13 @@ class TestBatched:
         u_ref = jnp.stack(
             [coarse2fine_flow_chw(im1s[i], im2s[i], 2, PARAMS)[0] for i in range(b)]
         )
-        for nf, nt in [(8, 1), (4, 2), (2, 4), (1, 8)]:
-            mesh = make_mesh(nf, nt)
+        for nf, nt, nx in [(8, 1, 1), (4, 2, 1), (2, 4, 1), (1, 8, 1),
+                           (2, 2, 2), (1, 2, 4)]:
+            mesh = make_mesh(nf, nt, n_tx=nx)
             u, v, w = batched_coarse2fine_flow(im1s, im2s, 2, PARAMS, mesh)
             np.testing.assert_allclose(
                 np.asarray(u), np.asarray(u_ref), atol=1e-10,
-                err_msg=f"mesh ({nf},{nt})",
+                err_msg=f"mesh ({nf},{nt},{nx})",
             )
 
     def test_vmapped_single_chip_matches_unbatched(self):
