@@ -40,20 +40,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for the windowed planes.  Measured on v5e: the compiled
 # kernel's scoped footprint is ~25 window-planes (8 resident + Mosaic
-# temporaries for the rolled neighbor sums); budget at 26 with headroom
-# under the 16 MB scoped limit.
-_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+# temporaries for the rolled neighbor sums); budget at 26.  The pallas_call
+# raises the scoped-VMEM limit to match the window (the default ~16 MB cap
+# would reject the deeper plans; v5e has 128 MB of VMEM).
+_VMEM_BUDGET_BYTES = 56 * 1024 * 1024
 _WINDOW_PLANES = 26
+# Empirical Mosaic ceiling on window_rows * w_pad (elements) on this
+# toolchain: 112x1920 = 215040 compiles and runs, 128x1920 crashes the
+# compiler (tpu_compile_helper exit 1), while 128x960 has always worked —
+# the constraint is the window AREA, not the row count or VMEM alone.
+_WINDOW_ELEMS_MAX = 215_040
 
 
 def plan_blocking(h: int, w: int, itemsize: int) -> Tuple[int, int] | None:
-    """Pick (band_rows R, sweeps_per_chunk S) such that the window fits
-    VMEM; None if the level is too small to be worth blocking.  The DMA'd
-    width is padded to a lane tile, so budget against that."""
+    """Pick (band_rows R, sweeps_per_chunk S) such that the ghost-zone
+    window fits both the VMEM budget and the Mosaic window-area ceiling;
+    None if the level is too small to be worth blocking.  The DMA'd width
+    is padded to a lane tile, so budget against that.  Larger R amortizes
+    the 4S halo rows over more valid rows; measured at 1080x1920 on v5e:
+    (80,8) = 28 ms/30 sweeps vs (48,4) = 47 ms."""
     w_pad = -(-w // 128) * 128
-    for r, s in ((128, 8), (96, 8), (64, 8), (48, 4), (32, 4), (32, 2)):
+    for r, s in ((224, 8), (160, 8), (128, 8), (96, 8), (80, 8), (64, 8),
+                 (48, 4), (32, 4), (32, 2)):
         v = r + 4 * s
         if h < v:
+            continue
+        if v * w_pad > _WINDOW_ELEMS_MAX:
             continue
         if _WINDOW_PLANES * v * w_pad * itemsize <= _VMEM_BUDGET_BYTES:
             return r, s
@@ -204,6 +216,14 @@ def _sor_blocked_chunk(
         _sor_blocked_kernel, n_sweeps, band_rows, window_rows, h, h_pad,
         w, w_pad, alpha, omega,
     )
+    # Size the scoped-VMEM limit from the actual window footprint (the
+    # default ~16 MB cap would reject the deeper-blocking plans; v5e has
+    # 128 MB of VMEM).  Budget = explicit scratch + Mosaic temporaries for
+    # the rolled neighbor sums (~3x the 8 resident window planes, measured).
+    vmem_limit = min(
+        100 * 2**20,
+        max(24 * 2**20, 26 * window_rows * w_pad * phi.dtype.itemsize),
+    )
     return pl.pallas_call(
         kernel,
         grid=(n_bands,),
@@ -215,6 +235,7 @@ def _sor_blocked_chunk(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=44 * n_sweeps * h_pad * w_pad,
             bytes_accessed=(8 * window_rows * n_bands + 2 * h_pad) * w_pad
