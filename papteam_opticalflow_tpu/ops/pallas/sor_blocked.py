@@ -60,8 +60,13 @@ def plan_blocking(h: int, w: int, itemsize: int) -> Tuple[int, int] | None:
     the 4S halo rows over more valid rows; measured at 1080x1920 on v5e:
     (80,8) = 28 ms/30 sweeps vs (48,4) = 47 ms."""
     w_pad = -(-w // 128) * 128
+    # NOTE: every candidate keeps 2*s % 8 == 0 so win_start = out_start -
+    # halo stays sublane-aligned (the dropped (32, 2) plan violated that);
+    # plans other than 112x1920 / 128x960 rest on the window-AREA theory
+    # but 192x960 (the (160, 8) row at 960px) was exercised end-to-end by
+    # the full 1920px P15 TPU bench.
     for r, s in ((224, 8), (160, 8), (128, 8), (96, 8), (80, 8), (64, 8),
-                 (48, 4), (32, 4), (32, 2)):
+                 (48, 4), (32, 4)):
         v = r + 4 * s
         if h < v:
             continue

@@ -153,14 +153,175 @@ def _weighted_laplacian_band(u_b2, phi_b1, g, real_h: int, compat: bool):
     return out
 
 
-def _nbr_sum(x, x_halo, wl, wr, wu, wd):
-    """sum of weighted 4-neighbors; ``x_halo`` = with_halo_rows(x, 1)."""
-    zcol = jnp.zeros_like(x[..., :, :1])
-    left = jnp.concatenate([zcol, x[..., :, :-1]], axis=-1)
-    right = jnp.concatenate([x[..., :, 1:], zcol], axis=-1)
-    up = x_halo[..., :-2, :]
-    down = x_halo[..., 2:, :]
-    return wl * left + wr * right + wu * up + wd * down
+def _ghost_zone_sor(
+    du,
+    dv,
+    phi,
+    imdxy,
+    denx,
+    deny,
+    rhs_x,
+    rhs_y,
+    *,
+    r0,
+    real_h: int,
+    n_sor: int,
+    alpha,
+    omega,
+    sweeps_per_exchange: int,
+    axis_name,
+):
+    """Red-black SOR over row shards with ghost-zone (temporally blocked)
+    halo exchange — the scalable replacement for the reference's chaotic
+    shared-memory SOR (``OpticalFlow.cpp:469-520``).
+
+    The naive sharded sweep exchanges a 1-row halo of ``du``/``dv`` every
+    half-sweep (8 ``ppermute``s per sweep — ICI-latency-bound at
+    ``30 + 3k`` sweeps per inner iteration).  This instead applies the same
+    temporal-blocking argument as ``ops/pallas/sor_blocked.py``: one full
+    red-black sweep invalidates two ghost rows per side, so after
+    exchanging a ``2S``-row ghost zone once, ``S`` sweeps run entirely
+    locally and the shard's own rows come out bit-identical to ``S``
+    global sweeps.  Collectives per inner iteration drop from
+    ``8 * n_sor`` to ``2 + 2 * ceil(n_sor / S)`` (the sweep-invariant
+    system planes are exchanged once, stacked into a single ppermute
+    pair; each chunk exchanges only the stacked ``du``/``dv`` ghost zone).
+
+    The redundant ghost-row compute (``4S`` extra rows per shard per
+    sweep) trades VPU flops for ICI latency, exactly as the Pallas kernel
+    trades them for HBM traffic.
+    """
+    h, w = du.shape
+    dt = du.dtype
+    s = max(1, min(int(sweeps_per_exchange), h // 2, n_sor))
+    if h < 2 * s:  # tiny coarse-level bands: plain halo-1 exchange
+        s = 1
+    if h < 2:
+        return _halo1_sor(
+            du, dv, phi, imdxy, denx, deny, rhs_x, rhs_y,
+            r0=r0, real_h=real_h, n_sor=n_sor, alpha=alpha, omega=omega,
+            axis_name=axis_name,
+        )
+    G = 2 * s
+
+    # The system planes are sweep-invariant: halo-extend them ONCE for the
+    # whole n_sor budget, stacked so the exchange is a single ppermute pair.
+    planes = jnp.stack([phi, imdxy, denx, deny, rhs_x, rhs_y])
+    planes_e = with_halo_rows(planes, G, axis_name)  # (6, h+2G, w)
+
+    gext = r0 - G + jnp.arange(h + 2 * G)
+    jcol = jnp.arange(w)
+    red_e = ((gext[:, None] + jcol[None, :]) % 2) == 0
+
+    def band_arrays(gg: int):
+        """Views of the G-extended planes/masks at ghost width ``gg``."""
+        sl = slice(G - gg, h + G + gg)
+        p = planes_e[:, sl]
+        phi_e = p[0]
+        ge = gext[sl]
+        zcol = jnp.zeros((h + 2 * gg, 1), dt)
+        zrow = jnp.zeros((1, w), dt)
+        # SOR neighbor weights at every band row (OpticalFlow.cpp:482-509),
+        # masked by GLOBAL row index.  The band-edge rows read a zero pad
+        # for their up-neighbor weight — they are ghost rows whose values
+        # never propagate ``gg`` rows deep within ``gg/2`` sweeps.
+        wl = jnp.concatenate([zcol, phi_e[:, :-1]], axis=-1)
+        wr = jnp.concatenate([phi_e[:, :-1], zcol], axis=-1)
+        wu = jnp.where(
+            (ge > 0)[:, None],
+            jnp.concatenate([zrow, phi_e[:-1]], axis=-2),
+            0,
+        )
+        wd = jnp.where((ge < real_h - 1)[:, None], phi_e, 0)
+        # Divides hoisted out of the sweep loop (same transform as
+        # solver.py and both Pallas kernels — all backends identical).
+        rdx = omega / p[2]
+        rdy = omega / p[3]
+        return (p[1], p[4], p[5], wl, wr, wu, wd, rdx, rdy, red_e[sl],
+                zcol, zrow)
+
+    def run_chunk(du, dv, n_sweeps: int, gg: int, band):
+        (imdxy_e, rhsx_e, rhsy_e, wl, wr, wu, wd, rdx, rdy, red,
+         zcol, zrow) = band
+        duv = with_halo_rows(jnp.stack([du, dv]), gg, axis_name)
+        du_e, dv_e = duv[0], duv[1]
+
+        def nbr(x):
+            left = jnp.concatenate([zcol, x[:, :-1]], axis=-1)
+            right = jnp.concatenate([x[:, 1:], zcol], axis=-1)
+            up = jnp.concatenate([zrow, x[:-1]], axis=-2)
+            down = jnp.concatenate([x[1:], zrow], axis=-2)
+            return wl * left + wr * right + wu * up + wd * down
+
+        def half(a, b, mask):
+            s1 = -alpha * nbr(a) + imdxy_e * b
+            a = jnp.where(mask, (1 - omega) * a + (rhsx_e - s1) * rdx, a)
+            s2 = -alpha * nbr(b) + imdxy_e * a
+            b = jnp.where(mask, (1 - omega) * b + (rhsy_e - s2) * rdy, b)
+            return a, b
+
+        def sweep(_, c):
+            a, b = c
+            a, b = half(a, b, red)
+            a, b = half(a, b, ~red)
+            return a, b
+
+        du_e, dv_e = jax.lax.fori_loop(0, n_sweeps, sweep, (du_e, dv_e))
+        return du_e[gg:gg + h], dv_e[gg:gg + h]
+
+    n_full, rem = divmod(n_sor, s)
+    if n_full:
+        band_s = band_arrays(G)
+        du, dv = jax.lax.fori_loop(
+            0, n_full,
+            lambda _, c: run_chunk(c[0], c[1], s, G, band_s),
+            (du, dv),
+        )
+    if rem:
+        du, dv = run_chunk(du, dv, rem, 2 * rem, band_arrays(2 * rem))
+    return du, dv
+
+
+def _halo1_sor(
+    du, dv, phi, imdxy, denx, deny, rhs_x, rhs_y,
+    *, r0, real_h, n_sor, alpha, omega, axis_name,
+):
+    """Per-half-sweep halo-1 fallback for bands too small to ghost-zone
+    (h == 1).  Same arithmetic as ``_ghost_zone_sor``."""
+    h, w = du.shape
+    dt = du.dtype
+    g = r0 + jnp.arange(h)
+    jcol = jnp.arange(w)
+    red = ((g[:, None] + jcol[None, :]) % 2) == 0
+    zcol = jnp.zeros((h, 1), dt)
+    wl = jnp.concatenate([zcol, phi[:, :-1]], axis=-1)
+    wr = jnp.concatenate([phi[:, :-1], zcol], axis=-1)
+    phi_h = with_halo_rows(phi, 1, axis_name)
+    wu = jnp.where((g > 0)[:, None], phi_h[:-2], 0)
+    wd = jnp.where((g < real_h - 1)[:, None], phi, 0)
+    rdx = omega / denx
+    rdy = omega / deny
+
+    def nbr(x, x_h):
+        left = jnp.concatenate([zcol, x[:, :-1]], axis=-1)
+        right = jnp.concatenate([x[:, 1:], zcol], axis=-1)
+        return wl * left + wr * right + wu * x_h[:-2] + wd * x_h[2:]
+
+    def half(a, b, mask):
+        ab_h = with_halo_rows(jnp.stack([a, b]), 1, axis_name)
+        s1 = -alpha * nbr(a, ab_h[0]) + imdxy * b
+        a = jnp.where(mask, (1 - omega) * a + (rhs_x - s1) * rdx, a)
+        s2 = -alpha * nbr(b, ab_h[1]) + imdxy * a
+        b = jnp.where(mask, (1 - omega) * b + (rhs_y - s2) * rdy, b)
+        return a, b
+
+    def sweep(_, c):
+        a, b = c
+        a, b = half(a, b, red)
+        a, b = half(a, b, ~red)
+        return a, b
+
+    return jax.lax.fori_loop(0, n_sor, sweep, (du, dv))
 
 
 def _tiled_level_solver(
@@ -194,8 +355,6 @@ def _tiled_level_solver(
     omega = t(params.omega)
 
     g = r0 + jnp.arange(h)
-    jcol = jnp.arange(w)
-    red_mask = ((g[:, None] + jcol[None, :]) % 2) == 0
     m_top = (g > 0)[:, None]
     m_bot = (g < real_h - 1)[:, None]
 
@@ -280,26 +439,13 @@ def _tiled_level_solver(
             denx = imdx2 + diag + coeff
             deny = imdy2 + diag + coeff
 
-            def half(du, dv, mask):
-                du_h = with_halo_rows(du, 1, axis_name)
-                dv_h = with_halo_rows(dv, 1, axis_name)
-                s1 = -alpha * _nbr_sum(du, du_h, wl, wr, wu, wd) + imdxy * dv
-                du = jnp.where(
-                    mask, (1 - omega) * du + omega * (rhs_x - s1) / denx, du
-                )
-                s2 = -alpha * _nbr_sum(dv, dv_h, wl, wr, wu, wd) + imdxy * du
-                dv = jnp.where(
-                    mask, (1 - omega) * dv + omega * (rhs_y - s2) / deny, dv
-                )
-                return du, dv
-
-            def sweep(_, c):
-                du, dv = c
-                du, dv = half(du, dv, red_mask)
-                du, dv = half(du, dv, ~red_mask)
-                return du, dv
-
-            du, dv = jax.lax.fori_loop(0, n_sor, sweep, (du, dv))
+            du, dv = _ghost_zone_sor(
+                du, dv, phi, imdxy, denx, deny, rhs_x, rhs_y,
+                r0=r0, real_h=real_h, n_sor=n_sor,
+                alpha=alpha, omega=omega,
+                sweeps_per_exchange=params.sor_halo_sweeps,
+                axis_name=axis_name,
+            )
             du = _repair_ghost(du, r0, h, real_h)
             dv = _repair_ghost(dv, r0, h, real_h)
 

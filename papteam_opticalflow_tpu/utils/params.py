@@ -95,6 +95,13 @@ class FlowParams:
     # Use the fused Pallas SOR kernel where the level fits in VMEM;
     # fall back to the XLA (jnp) red-black implementation otherwise.
     use_pallas_sor: bool = True
+    # Ghost-zone depth of the SHARDED SOR (parallel/tiled.py): exchange a
+    # ``2S``-row halo once per ``S`` sweeps instead of a 1-row halo every
+    # half-sweep, cutting ICI collectives per inner iteration from
+    # ``8 * n_sor`` to ``2 + 2 * ceil(n_sor / S)`` at the cost of ``4S``
+    # redundant ghost rows of VPU work per shard per sweep.  Clamped per
+    # level to ``h // 2`` so the exchange stays valid on small bands.
+    sor_halo_sweeps: int = 8
     # Storage dtype for the pyramid/feature/warp IMAGES on the hot path
     # ("float32" or "bfloat16").  bfloat16 halves HBM traffic of the
     # image-plane passes; flow fields, warp coordinates, and the SOR system
