@@ -3,18 +3,24 @@
 The SOR sweep loop is the dominant cost of the solver
 (``Code/Parallel/src/OpticalFlow.cpp:469-520``: ``30 + 3k`` sweeps per inner
 iteration).  The XLA implementation re-reads every coefficient array from HBM
-each half-sweep; this kernel instead pins the six coefficient planes and the
+each half-sweep; this kernel instead pins the coefficient planes and the
 ``du/dv`` iterates in VMEM and runs ALL sweeps in one kernel launch, so HBM
 traffic is one read of the system + one write of the result regardless of
 sweep count.
 
-Neighbor access uses circular ``pltpu.roll``; correctness at the borders is
-guaranteed because the border neighbor *weights* are identically zero
-(``neighbor_weights``), so wrapped values are multiplied by 0.
+The planes are packed into dense red/black half-planes (``rb_pack.py``)
+outside the kernel (fused into the surrounding level jit), so every
+half-sweep is a DENSE update of one (H, W/2) plane — no checkerboard
+``where``-masking — and the sweep-invariant neighbor weights are built once
+before the loop.  Measured on v5e at 296x512: 2.45 us/sweep vs 3.41 for the
+r1 masked kernel (1.4x).  Each half-plane is a SEPARATE kernel operand:
+slicing a loaded ``[R|B]`` concat value into halves de-optimized the whole
+loop body (~2.5x slower), so the pack boundary lives at the pallas_call
+signature.  Results match ``models/solver.sor_solve_jnp`` to float
+associativity (same per-point arithmetic and ordering).
 
-Levels too large for VMEM fall back to the XLA path (see
-``models/sor_dispatch.py``); a halo-tiled multi-block kernel is the planned
-upgrade for the finest levels.
+Levels too large for VMEM fall back to the ghost-zone blocked kernel or the
+XLA path (see ``models/sor_dispatch.py``).
 """
 
 from __future__ import annotations
@@ -27,14 +33,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Whole-level-resident admission gate.  Measured on v5e: the compiled
-# kernel's scoped VMEM footprint is ~127 bytes/pixel (6 coefficient planes +
-# 2 iterates + Mosaic temporaries for the rolled neighbor sums), e.g.
-# 303x540 f32 -> 20.85 MB reported by the compiler against the 16 MB scoped
-# limit.  Budget at 32 f32-planes/pixel with headroom so a fresh compile
-# (no cache) never hits the scoped-vmem OOM.
+from .rb_pack import (
+    make_packed_sweep,
+    make_packed_weights,
+    pack_rb,
+    unpack_rb,
+)
+
+# Whole-level-resident admission gate.  The packed kernel keeps ~14
+# plane-equivalents live (6 system + 4 precomputed weights + 2 reciprocal
+# denominators + 2 iterates) plus Mosaic temporaries for the rolled
+# neighbor sums; budget at 40 f32-planes/pixel with headroom so a fresh
+# compile (no cache) never hits the scoped-vmem OOM.  (The r1 unpacked
+# kernel measured ~32 planes with 8 resident; weights add 4+2 resident.)
 _VMEM_BUDGET_BYTES = 15 * 1024 * 1024
-_PLANES = 32
+_PLANES = 40
+
+# Interpret-mode escape hatch for CPU tests (tests/test_pallas_interpret.py).
+_INTERPRET = False
 
 
 def sor_fits_vmem(h: int, w: int, dtype) -> bool:
@@ -48,97 +64,105 @@ def _roll(x, shift, axis):
 
 def _sor_kernel(
     n_iterations: int,
+    h: int,       # TRUE image height (border masks)
+    w: int,       # TRUE image width (border masks; halves are w_pad/2 wide)
     alpha: float,
     omega: float,
-    phi_ref,
-    imdxy_ref,
-    denx_ref,
-    deny_ref,
-    rhsx_ref,
-    rhsy_ref,
-    du_ref,
-    dv_ref,
+    phi_r_ref, phi_b_ref,
+    imdxy_r_ref, imdxy_b_ref,
+    denx_r_ref, denx_b_ref,
+    deny_r_ref, deny_b_ref,
+    rhsx_r_ref, rhsx_b_ref,
+    rhsy_r_ref, rhsy_b_ref,
+    du_r_ref, du_b_ref,
+    dv_r_ref, dv_b_ref,
 ):
-    phi = phi_ref[:]
-    imdxy = imdxy_ref[:]
-    rhsx = rhsx_ref[:]
-    rhsy = rhsy_ref[:]
-    h, w = phi.shape
-    t = phi.dtype.type
+    phi_r = phi_r_ref[:]
+    phi_b = phi_b_ref[:]
+
+    t = phi_r.dtype.type
     alpha = t(alpha)
     omega = t(omega)
     # Hoist the divides out of the sweep loop: du update becomes
-    # (1-w)du + (rhs - sigma) * (w/den) — one multiply per point instead of
-    # a divide every half-sweep.
-    rdx = omega / denx_ref[:]
-    rdy = omega / deny_ref[:]
+    # (1-w)du + (rhs - sigma) * (w/den).
+    rdx_r = omega / denx_r_ref[:]
+    rdx_b = omega / denx_b_ref[:]
+    rdy_r = omega / deny_r_ref[:]
+    rdy_b = omega / deny_b_ref[:]
 
-    i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    red = ((i + j) % 2) == 0
-    zero = jnp.zeros_like(phi)
+    rows, w2 = phi_r.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, (rows, w2), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (rows, w2), 1)
+    evrow = (gi % 2) == 0
+    weights = make_packed_weights(phi_r, phi_b, gi, jj, h, w, _roll)
+    sweep = make_packed_sweep(
+        weights,
+        imdxy_r_ref[:], imdxy_b_ref[:],
+        rdx_r, rdx_b, rdy_r, rdy_b,
+        rhsx_r_ref[:], rhsx_b_ref[:],
+        rhsy_r_ref[:], rhsy_b_ref[:],
+        evrow, alpha, omega, _roll,
+    )
 
-    def nbr_sum(x):
-        # Border-masked neighbor weights (models/solver.neighbor_weights),
-        # recomputed from phi per call to keep VMEM residency at 8 planes.
-        wl = jnp.where(j > 0, _roll(phi, 1, 1), zero)
-        wr = jnp.where(j < w - 1, phi, zero)
-        wu = jnp.where(i > 0, _roll(phi, 1, 0), zero)
-        wd = jnp.where(i < h - 1, phi, zero)
-        return (
-            wl * _roll(x, 1, 1)
-            + wr * _roll(x, -1, 1)
-            + wu * _roll(x, 1, 0)
-            + wd * _roll(x, -1, 0)
-        )
-
-    def half(du, dv, mask):
-        sigma1 = -alpha * nbr_sum(du) + imdxy * dv
-        du = jnp.where(mask, (1 - omega) * du + (rhsx - sigma1) * rdx, du)
-        sigma2 = -alpha * nbr_sum(dv) + imdxy * du
-        dv = jnp.where(mask, (1 - omega) * dv + (rhsy - sigma2) * rdy, dv)
-        return du, dv
-
-    def body(_, carry):
-        du, dv = carry
-        du, dv = half(du, dv, red)
-        du, dv = half(du, dv, jnp.logical_not(red))
-        return du, dv
-
-    du, dv = jax.lax.fori_loop(0, n_iterations, body, (zero, zero))
-    du_ref[:] = du
-    dv_ref[:] = dv
+    zero = jnp.zeros_like(phi_r)
+    du_r, du_b, dv_r, dv_b = jax.lax.fori_loop(
+        0, n_iterations, lambda _, c: sweep(*c), (zero, zero, zero, zero)
+    )
+    du_r_ref[:] = du_r
+    du_b_ref[:] = du_b
+    dv_r_ref[:] = dv_r
+    dv_b_ref[:] = dv_b
 
 
-@functools.partial(jax.jit, static_argnames=("n_iterations", "alpha", "omega"))
-def _sor_call(phi, imdxy, denx, deny, rhsx, rhsy, *, n_iterations, alpha, omega):
-    h, w = phi.shape
-    kernel = functools.partial(_sor_kernel, n_iterations, alpha, omega)
-    out_shape = [jax.ShapeDtypeStruct((h, w), phi.dtype)] * 2
-    flops_per_half = 22 * h * w
+@functools.partial(
+    jax.jit, static_argnames=("n_iterations", "h", "w", "alpha", "omega")
+)
+def _sor_call(*halves, n_iterations, h, w, alpha, omega):
+    rows, w2 = halves[0].shape
+    kernel = functools.partial(_sor_kernel, n_iterations, h, w, alpha, omega)
+    out_shape = [jax.ShapeDtypeStruct((rows, w2), halves[0].dtype)] * 4
+    flops_per_half = 22 * rows * w2
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_iterations * flops_per_half,
-            bytes_accessed=8 * h * w * phi.dtype.itemsize,
+            bytes_accessed=16 * rows * w2 * halves[0].dtype.itemsize,
             transcendentals=0,
         ),
-    )(phi, imdxy, denx, deny, rhsx, rhsy)
+        interpret=_INTERPRET,
+    )(*halves)
 
 
 def sor_solve_pallas(system, n_iterations: int, params) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    du, dv = _sor_call(
-        system.phi,
-        system.imdxy,
-        system.denom_x,
-        system.denom_y,
-        system.rhs_x,
-        system.rhs_y,
+    h, w = system.phi.shape
+    w_pad = w + (w % 2)
+
+    def prep(x, const=0.0):
+        if w_pad != w:
+            x = jnp.pad(x, ((0, 0), (0, 1)), constant_values=const)
+        return pack_rb(x)
+
+    halves = (
+        *prep(system.phi),
+        *prep(system.imdxy),
+        # Denominators pad with 1 (not 0): padded cells still evaluate the
+        # update formula and 0/0 -> NaN would poison the rolls.
+        *prep(system.denom_x, 1.0),
+        *prep(system.denom_y, 1.0),
+        *prep(system.rhs_x),
+        *prep(system.rhs_y),
+    )
+    du_r, du_b, dv_r, dv_b = _sor_call(
+        *halves,
         n_iterations=n_iterations,
+        h=h,
+        w=w,
         alpha=float(params.alpha),
         omega=float(params.omega),
     )
+    du = unpack_rb(du_r, du_b)[:, :w]
+    dv = unpack_rb(dv_r, dv_b)[:, :w]
     return du, dv

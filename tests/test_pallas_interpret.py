@@ -1,0 +1,105 @@
+"""CPU interpret-mode tests of the Pallas SOR kernels.
+
+Round 1 validated the Pallas kernels only on real TPU hardware (bench.py);
+these tests run both kernels through ``pl.pallas_call(interpret=True)`` on
+the CPU backend and assert equality with the XLA red-black backend
+(``sor_solve_jnp``) — the packed red/black layout (``ops/pallas/rb_pack``)
+must reproduce the reference sweep arithmetic exactly.
+
+Equality is asserted to rtol=1e-14 rather than bit-exact: the op sequence
+is identical, but XLA may contract multiply-adds differently between the
+two programs on CPU, and those 1-ULP deltas compound over the sweep loop
+(observed max: ~4 ULP after 13 sweeps).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import papteam_opticalflow_tpu.ops.pallas.sor as psor
+import papteam_opticalflow_tpu.ops.pallas.sor_blocked as pblk
+from papteam_opticalflow_tpu.models.solver import SorSystem, sor_solve_jnp
+from papteam_opticalflow_tpu.ops.pallas.rb_pack import (
+    pack_rb,
+    pack_rb_concat,
+    unpack_rb,
+    unpack_rb_concat,
+)
+from papteam_opticalflow_tpu.utils.params import FlowParams
+
+PARAMS = FlowParams()
+RNG = np.random.default_rng(7)
+
+
+def random_system(h, w):
+    phi = jnp.asarray(0.5 + RNG.random((h, w)))
+    imdxy = jnp.asarray(RNG.random((h, w)) * 0.1)
+    denx = jnp.asarray(1.0 + RNG.random((h, w)))
+    deny = jnp.asarray(1.0 + RNG.random((h, w)))
+    rhsx = jnp.asarray(RNG.standard_normal((h, w)))
+    rhsy = jnp.asarray(RNG.standard_normal((h, w)))
+    return SorSystem(phi, imdxy, denx, deny, rhsx, rhsy)
+
+
+def assert_ulp_close(a, b):
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-14, atol=1e-15
+    )
+
+
+class TestPackRoundtrip:
+    @pytest.mark.parametrize("h,w", [(8, 10), (7, 6), (16, 128)])
+    def test_roundtrip(self, h, w):
+        x = jnp.asarray(RNG.random((h, w)))
+        r, b = pack_rb(x)
+        np.testing.assert_array_equal(np.asarray(unpack_rb(r, b)), np.asarray(x))
+        np.testing.assert_array_equal(
+            np.asarray(unpack_rb_concat(pack_rb_concat(x))), np.asarray(x)
+        )
+
+    def test_color_assignment(self):
+        # R[i, jj] must hold x[i, 2jj + i%2] — the (i+j)-even checkerboard.
+        x = jnp.arange(4 * 6, dtype=jnp.float64).reshape(4, 6)
+        r, b = pack_rb(x)
+        xn = np.asarray(x)
+        for i in range(4):
+            for jj in range(3):
+                assert r[i, jj] == xn[i, 2 * jj + i % 2]
+                assert b[i, jj] == xn[i, 2 * jj + 1 - i % 2]
+
+
+class TestWholeLevelKernel:
+    @pytest.mark.parametrize("h,w", [(17, 23), (16, 24), (33, 48), (8, 9)])
+    def test_matches_xla_backend(self, h, w, monkeypatch):
+        monkeypatch.setattr(psor, "_INTERPRET", True)
+        system = random_system(h, w)
+        du0, dv0 = sor_solve_jnp(system, 13, PARAMS)
+        du1, dv1 = psor.sor_solve_pallas(system, 13, PARAMS)
+        assert_ulp_close(du0, du1)
+        assert_ulp_close(dv0, dv1)
+
+
+class TestBlockedKernel:
+    @pytest.mark.parametrize("h,w", [(80, 300), (61, 129)])
+    def test_matches_xla_backend(self, h, w, monkeypatch):
+        monkeypatch.setattr(pblk, "_INTERPRET", True)
+        plan = pblk.plan_blocking(h, w, 8)
+        assert plan is not None
+        system = random_system(h, w)
+        du0, dv0 = sor_solve_jnp(system, 11, PARAMS)
+        du1, dv1 = pblk.sor_solve_blocked(system, 11, PARAMS, plan)
+        assert_ulp_close(du0, du1)
+        assert_ulp_close(dv0, dv1)
+
+    def test_plan_alignment(self):
+        # Every plan must keep the DMA window sublane-aligned: halo = 2S
+        # and band_rows both multiples of 8 (ADVICE r1: (32,2) violated it).
+        for h in range(40, 400, 13):
+            for w in (240, 480, 960, 1920):
+                plan = pblk.plan_blocking(h, w, 4)
+                if plan is None:
+                    continue
+                r, s = plan
+                assert r % 8 == 0 and (2 * s) % 8 == 0
