@@ -6,11 +6,11 @@ Re-implements the reference's ``InputCreation`` package
 walk source directories, group frames into collections, and pair frame N
 with frame N+1 — keeping a pair only when the successor file exists.
 
-Unlike the reference (which increments the digit substring of the filename
-to *guess* the successor, ``TestImage.py:118-154``), successor matching here
-sorts the actual directory listing and pairs adjacent frame indices, which
-is equivalent on the reference's ``frame_#####.jpg`` layout and robust to
-other zero-padded naming schemes.
+Successor pairing follows the reference exactly: the digit substring of
+each filename is incremented width-preservingly (``TestImage.py:118-154``
+``incrementWithFormat``: leading zeros kept, overflow chops high digits,
+``'9' -> '0'``) to *guess* the successor file, and a pair is kept only when
+that guessed file exists on disk (``TestImagePairGenerator.py:151-171``).
 """
 
 from __future__ import annotations
@@ -27,6 +27,24 @@ DEFAULT_SOURCE_DIRS = ("images", "images_MPI", "images_Video", "images_New")
 _FRAME_RE = re.compile(r"^(?P<prefix>.*?)(?P<index>\d+)$")
 
 
+def digits_in(string: str) -> str:
+    """All digits of ``string`` concatenated; ``'0'`` when none
+    (``TestImage.py:digitsIn``)."""
+    digits = re.sub(r"\D", "", string)
+    return digits if digits else "0"
+
+
+def increment_with_format(string: str) -> str:
+    """Width-preserving increment of a digit string
+    (``TestImage.py:incrementWithFormat``): ``'009' -> '010'``,
+    ``'9' -> '0'`` (overflow chops the spilled leading digits)."""
+    out = str(int(digits_in(string)) + 1)
+    lead = len(string) - len(out)
+    if lead >= 0:
+        return "0" * lead + out
+    return out[-lead:]
+
+
 @dataclasses.dataclass(frozen=True)
 class FrameImage:
     """A single frame on disk (reference ``TestImage``)."""
@@ -39,13 +57,24 @@ class FrameImage:
 
     @property
     def index_string(self) -> str:
-        m = _FRAME_RE.match(self.path.stem)
-        return m.group("index") if m else self.path.stem
+        """Concatenated digits of the stem (``TestImage.IMAGE_INDEX_STRING``
+        = ``digitsIn(IMAGE_NAME)``)."""
+        return digits_in(self.path.stem)
 
     @property
     def index(self) -> Optional[int]:
         m = _FRAME_RE.match(self.path.stem)
         return int(m.group("index")) if m else None
+
+    def after(self) -> "FrameImage":
+        """The successor frame this file *should* precede, by the
+        reference's digit-string increment (``TestImage.py:70-81``):
+        replace the index substring of the filename with its
+        width-preserving increment.  The result may or may not exist on
+        disk — callers check (``TestImagePairGenerator.py:166``)."""
+        idx = self.index_string
+        next_name = self.path.name.replace(idx, increment_with_format(idx))
+        return FrameImage(self.path.parent / next_name)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,14 +112,15 @@ class ImageCollection:
         return [FrameImage(p) for p in files]
 
     def pairs(self) -> List[FramePair]:
-        """Consecutive-index pairs; a pair exists only if frame N+1 is on
-        disk (TestImagePairGenerator.py:151-171)."""
-        frames = self.frames()
-        by_index = {f.index: f for f in frames if f.index is not None}
+        """Consecutive pairs via the reference's successor guess: frame N's
+        filename digit-string is incremented and the pair is kept only if
+        that guessed file exists (TestImagePairGenerator.py:151-171,
+        TestImage.after)."""
         out = []
-        for f in frames:
-            if f.index is not None and (f.index + 1) in by_index:
-                out.append(FramePair(f, by_index[f.index + 1]))
+        for f in self.frames():
+            nxt = f.after()
+            if nxt.path.is_file():
+                out.append(FramePair(f, nxt))
         return out
 
 

@@ -221,6 +221,66 @@ def warp_bilinear_flow(
     return warp_bilinear(im1, im2, flow[..., 0], flow[..., 1])
 
 
+def _warp_coords(im2, vx, vy):
+    h, w = im2.shape[-2], im2.shape[-1]
+    ftype = im2.dtype if im2.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    x = jnp.arange(w, dtype=ftype)[None, :] + vx.astype(ftype)
+    y = jnp.arange(h, dtype=ftype)[:, None] + vy.astype(ftype)
+    oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
+    return x, y, oob
+
+
+def warp_bilinear_nofill(
+    im2: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray
+) -> jnp.ndarray:
+    """3-argument ``warpImage`` overload (``ImageProcessing.h:549-568``):
+    backward warp with NO frame-1 fallback — out-of-bounds targets stay
+    zero (the reference memsets the output first)."""
+    x, y, oob = _warp_coords(im2, vx, vy)
+    sampled = bilinear_gather(im2, x, y)
+    return jnp.where(oob, jnp.zeros((), im2.dtype), sampled)
+
+
+def warp_bilinear_nofill_flow(im2: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved-flow form of the no-fill warp
+    (``ImageProcessing.h:594-612``).  ``flow``: ``(H, W, 2)`` = (vx, vy)."""
+    return warp_bilinear_nofill(im2, flow[..., 0], flow[..., 1])
+
+
+def warp_bilinear_transpose(
+    im2: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray
+) -> jnp.ndarray:
+    """``warpImage_transpose`` (``ImageProcessing.h:571-589``): the adjoint
+    scatter — every in-bounds source pixel deposits its value onto the four
+    clamped corners of its warp target with the bilinear weights
+    (``BilinearInterpolate_transpose``); out-of-bounds pixels deposit
+    nothing (realized by scattering a zero value, which is a no-op)."""
+    h, w = im2.shape[-2], im2.shape[-1]
+    x, y, oob = _warp_coords(im2, vx, vy)
+    values = jnp.where(oob, jnp.zeros((), im2.dtype), im2)
+    return bilinear_scatter(values, x, y, h, w)
+
+
+def warp_bilinear_transpose_flow(
+    im2: jnp.ndarray, flow: jnp.ndarray
+) -> jnp.ndarray:
+    """Interleaved-flow form of the adjoint scatter
+    (``ImageProcessing.h:615-632``)."""
+    return warp_bilinear_transpose(im2, flow[..., 0], flow[..., 1])
+
+
+def warp_bilinear_masked(
+    im1: jnp.ndarray, im2: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mask-emitting ``warpImage`` overload (``ImageProcessing.h:634-653``):
+    the hot-path warp plus an in-bounds mask (1 where interpolated, 0 where
+    the frame-1 pixel was copied)."""
+    x, y, oob = _warp_coords(im2, vx, vy)
+    sampled = bilinear_gather(im2, x, y)
+    mask = jnp.where(oob, jnp.zeros((), im2.dtype), jnp.ones((), im2.dtype))
+    return jnp.where(oob, im1, sampled), mask
+
+
 def resize_shape(src_h: int, src_w: int, ratio: float) -> Tuple[int, int]:
     """Destination size of the ratio-driven resize: ``int(src * ratio)``
     with C double-multiply truncation (``ImageProcessing.h:217-218``)."""
@@ -259,6 +319,17 @@ def resize_by_ratio(img: jnp.ndarray, ratio: float) -> jnp.ndarray:
     return out[0] if img.ndim == 2 else out
 
 
+def should_pack_warp(img: jnp.ndarray) -> bool:
+    """Gather-scheme policy for the backward warp, measured on v5e at
+    1080x1920: TPU gather throughput collapses once the per-index slice
+    exceeds ~48 bytes (f32 5-channel patch pack = 80 B/idx: 67 ms device
+    vs 41 ms for four corner gathers of the unpacked 5-ch table; bf16
+    pack = 40 B/idx: 20 ms, the fastest variant found).  Pack when the
+    4C-channel patch slice stays within that window."""
+    c = 1 if img.ndim == 2 else img.shape[-3]
+    return 4 * c * jnp.dtype(img.dtype).itemsize <= 48
+
+
 def warp_bilinear(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
@@ -272,7 +343,10 @@ def warp_bilinear(
     ``im1``, ``im2``: ``(..., H, W)``; ``vx``, ``vy``: ``(H, W)``.
     ``im2_pack``: optional precomputed ``pack_patch2x2(im2)`` — callers that
     warp the same frame repeatedly (the fixed-point loop) should build it
-    once; the packed path issues one gather per pixel instead of four.
+    once WHEN ``should_pack_warp`` says so; with wide f32 slices the
+    4-corner unpacked gather is faster (see ``should_pack_warp``).  Both
+    schemes produce bit-identical values (the packed shifts pre-apply the
+    same corner clamping).
     """
     h, w = im2.shape[-2], im2.shape[-1]
     ftype = im2.dtype if im2.dtype in (jnp.float32, jnp.float64) else jnp.float32
@@ -281,9 +355,12 @@ def warp_bilinear(
     x = j[None, :] + vx.astype(ftype)
     y = i[:, None] + vy.astype(ftype)
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
-    if im2_pack is None:
+    if im2_pack is None and should_pack_warp(im2):
         im2_pack = pack_patch2x2(im2)
-    sampled = bilinear_gather_packed(im2_pack, x, y)
-    if im2.ndim == 2:
-        sampled = sampled[0]
+    if im2_pack is not None:
+        sampled = bilinear_gather_packed(im2_pack, x, y)
+        if im2.ndim == 2:
+            sampled = sampled[0]
+    else:
+        sampled = bilinear_gather(im2, x, y)
     return jnp.where(oob, im1, sampled)

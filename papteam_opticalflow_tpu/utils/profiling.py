@@ -17,7 +17,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.coarse2fine import _coarse2fine_impl  # noqa: F401 (doc ref)
 from ..models.pyramid import build_pyramid, clamp_ratio
@@ -29,7 +28,13 @@ from ..utils.params import DEFAULT_PARAMS, FlowParams, Interpolation
 
 
 def _fetch(x):
-    return jax.tree.map(np.asarray, x)
+    """Completion barrier: fetch a 1-element device-side reduction of every
+    leaf.  ``block_until_ready`` does not reliably block on the axon
+    platform, and fetching full arrays would bill the tunneled host link
+    (~25 ms/MB) to the phase being timed; a scalar fetch costs one ~25 ms
+    round trip per leaf regardless of array size."""
+    for leaf in jax.tree.leaves(x):
+        float(jnp.sum(leaf))
 
 
 def profiled_flow(
@@ -50,8 +55,13 @@ def profiled_flow(
     ratio = clamp_ratio(params.ratio)
 
     t0 = time.perf_counter()
-    pyr1 = _fetch(jax.jit(build_pyramid, static_argnums=(1, 2))(im1, ratio, pyramid_levels))
-    pyr2 = _fetch(jax.jit(build_pyramid, static_argnums=(1, 2))(im2, ratio, pyramid_levels))
+    # Honor the bf16 image path exactly as _coarse2fine_impl does, so the
+    # phase profile reflects the production pipeline's dtype.
+    pim1 = im1.astype(jnp.bfloat16) if params.image_dtype == "bfloat16" else im1
+    pim2 = im2.astype(jnp.bfloat16) if params.image_dtype == "bfloat16" else im2
+    pyr1 = jax.jit(build_pyramid, static_argnums=(1, 2))(pim1, ratio, pyramid_levels)
+    pyr2 = jax.jit(build_pyramid, static_argnums=(1, 2))(pim2, ratio, pyramid_levels)
+    _fetch((pyr1, pyr2))
     timings["Construction"] = time.perf_counter() - t0
 
     feat = jax.jit(im2feature, static_argnums=(1,))
@@ -61,8 +71,8 @@ def profiled_flow(
     u = v = None
     for k in range(pyramid_levels - 1, -1, -1):
         t0 = time.perf_counter()
-        f1 = feat(jnp.asarray(pyr1[k]), params.color_type)
-        f2 = feat(jnp.asarray(pyr2[k]), params.color_type)
+        f1 = feat(pyr1[k], params.color_type)
+        f2 = feat(pyr2[k], params.color_type)
         h, w = f1.shape[-2], f1.shape[-1]
         if k == pyramid_levels - 1:
             u = jnp.zeros((h, w), im1.dtype)

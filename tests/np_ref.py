@@ -91,6 +91,67 @@ def warp_image(im1, im2, vx, vy):
     return out
 
 
+def warp_image_nofill(im2, vx, vy):
+    """warpImage(pWarpIm2, pIm2, pVx, pVy, ...) (ImageProcessing.h:549-568):
+    no Im1 fallback — out-of-bounds targets stay zero (memset)."""
+    h, w, c = im2.shape
+    out = np.zeros_like(im2)
+    for i in range(h):
+        for j in range(w):
+            x = j + vx[i, j]
+            y = i + vy[i, j]
+            if x < 0 or x > w - 1 or y < 0 or y > h - 1:
+                continue
+            out[i, j] = bilinear_interpolate(im2, x, y)
+    return out
+
+
+def warp_image_masked(im1, im2, vx, vy):
+    """warpImage(pWarpIm2, pMask, pIm1, pIm2, ...) (ImageProcessing.h:634-653):
+    the hot-path warp plus an in-bounds mask (1 = interpolated, 0 = OOB,
+    Im1-copied)."""
+    h, w, c = im2.shape
+    out = np.zeros_like(im2)
+    mask = np.zeros((h, w), dtype=im2.dtype)
+    for i in range(h):
+        for j in range(w):
+            x = j + vx[i, j]
+            y = i + vy[i, j]
+            if x < 0 or x > w - 1 or y < 0 or y > h - 1:
+                out[i, j] = im1[i, j]
+                mask[i, j] = 0
+            else:
+                out[i, j] = bilinear_interpolate(im2, x, y)
+                mask[i, j] = 1
+    return out, mask
+
+
+def warp_image_transpose(im2, vx, vy):
+    """warpImage_transpose (ImageProcessing.h:571-589): adjoint scatter —
+    each in-bounds source pixel deposits its value onto the four clamped
+    corners of its target coordinate with the bilinear weights
+    (BilinearInterpolate_transpose, ImageProcessing.h:186-206); OOB pixels
+    deposit nothing."""
+    h, w, c = im2.shape
+    out = np.zeros_like(im2)
+    for i in range(h):
+        for j in range(w):
+            x = j + vx[i, j]
+            y = i + vy[i, j]
+            if x < 0 or x > w - 1 or y < 0 or y > h - 1:
+                continue
+            xx, yy = int(x), int(y)
+            dx = min(max(x - xx, 0.0), 1.0)
+            dy = min(max(y - yy, 0.0), 1.0)
+            for m in (0, 1):
+                for n in (0, 1):
+                    u = clamp(xx + m, w)
+                    v = clamp(yy + n, h)
+                    s = abs(1 - m - dx) * abs(1 - n - dy)
+                    out[v, u] += im2[i, j] * s
+    return out
+
+
 def dx_forward(img):
     out = np.zeros_like(img)
     out[:, :-1] = img[:, 1:] - img[:, :-1]

@@ -40,6 +40,26 @@ class TestDiscovery:
         names = [p.before.path.name for p in pairs]
         assert names == ["frame_00001.jpg", "frame_00004.jpg"]
 
+    def test_increment_with_format_reference_cases(self):
+        # The exact docstring cases of TestImage.py:incrementWithFormat,
+        # including width-preserving overflow chopping.
+        from papteam_opticalflow_tpu.data.discovery import increment_with_format
+
+        cases = {"0": "1", "000": "001", "004": "005", "009": "010",
+                 "9": "0", "99": "00", "999": "000"}
+        for src, want in cases.items():
+            assert increment_with_format(src) == want, src
+
+    def test_after_digit_string_successor(self, tmp_path):
+        from papteam_opticalflow_tpu.data.discovery import FrameImage
+
+        f = FrameImage(tmp_path / "frame_00057.jpg")
+        assert f.after().path.name == "frame_00058.jpg"
+        # Width-preserving rollover: frame_999 guesses frame_000
+        # (reference semantics — the guess then fails the existence check).
+        g = FrameImage(tmp_path / "frame999.jpg")
+        assert g.after().path.name == "frame000.jpg"
+
 
 class TestFlowIO:
     def test_fixed_point_roundtrip(self, tmp_path):

@@ -87,6 +87,50 @@ class TestInterp:
         got = hwc(interp.warp_bilinear(chw(im1), chw(im2), jnp.asarray(vx), jnp.asarray(vy)))
         np.testing.assert_allclose(got, want, atol=1e-12)
 
+    def test_warp_variants_match_reference(self):
+        # The ImageProcessing.h:549-653 warp family: no-fill, transpose
+        # (scatter adjoint), masked, and their interleaved-flow forms.
+        im1, im2 = rand_img(7, 9), rand_img(7, 9)
+        vx = RNG.normal(size=(7, 9)) * 3
+        vy = RNG.normal(size=(7, 9)) * 3
+        jvx, jvy = jnp.asarray(vx), jnp.asarray(vy)
+        flow = jnp.stack([jvx, jvy], axis=-1)
+
+        want = np_ref.warp_image_nofill(im2, vx, vy)
+        got = hwc(interp.warp_bilinear_nofill(chw(im2), jvx, jvy))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        np.testing.assert_allclose(
+            hwc(interp.warp_bilinear_nofill_flow(chw(im2), flow)), want,
+            atol=1e-12,
+        )
+
+        want_t = np_ref.warp_image_transpose(im2, vx, vy)
+        got_t = hwc(interp.warp_bilinear_transpose(chw(im2), jvx, jvy))
+        np.testing.assert_allclose(got_t, want_t, atol=1e-12)
+        np.testing.assert_allclose(
+            hwc(interp.warp_bilinear_transpose_flow(chw(im2), flow)), want_t,
+            atol=1e-12,
+        )
+
+        want_w, want_m = np_ref.warp_image_masked(im1, im2, vx, vy)
+        got_w, got_m = interp.warp_bilinear_masked(chw(im1), chw(im2), jvx, jvy)
+        np.testing.assert_allclose(hwc(got_w), want_w, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(got_m), want_m)
+
+    def test_warp_packed_matches_unpacked(self):
+        # The two gather schemes behind warp_bilinear (packed patch vs four
+        # corner gathers — chosen by should_pack_warp for TPU perf) must be
+        # numerically identical.
+        im1, im2 = rand_img(7, 9), rand_img(7, 9)
+        vx = RNG.normal(size=(7, 9)) * 3
+        vy = RNG.normal(size=(7, 9)) * 3
+        jvx, jvy = jnp.asarray(vx), jnp.asarray(vy)
+        pack = interp.pack_patch2x2(chw(im2))
+        a = interp.warp_bilinear(chw(im1), chw(im2), jvx, jvy, im2_pack=pack)
+        b = interp.warp_bilinear(chw(im1), chw(im2), jvx, jvy)
+        assert interp.should_pack_warp(chw(im2)) is False  # 3ch f64 = 96 B
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_bilinear_truncation_negative_coords(self):
         # (int)(-0.25) == 0 in C, not floor(-0.25) == -1.
         img = rand_img(4, 4, 1)
