@@ -96,6 +96,61 @@ def _flow_chw_batch(im1s_chw, im2s_chw, levels: int, params: FlowParams):
     return [dict(timing) for _ in im1s_chw], u, v
 
 
+def _flow_chw_mesh(im1s_chw, im2s_chw, levels: int, params: FlowParams, mesh):
+    """A batch of pairs over a device mesh: the batch shards over the
+    ``frame`` axis and each pair row-tiles over ``ty``/``tx``
+    (``parallel/batch.batched_coarse2fine_flow``).  Short batches are
+    padded by repeating the last pair (results dropped) so the batch
+    divides the frame axis."""
+    import jax.numpy as jnp
+
+    from ..parallel.batch import batched_coarse2fine_flow
+    from ..parallel.distributed import pad_batch_for_mesh
+
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_frame = axes.get("frame", 1)
+    n = len(im1s_chw)
+    pad = pad_batch_for_mesh(n, n_frame)
+    x1 = np.stack(list(im1s_chw) + [im1s_chw[-1]] * pad)
+    x2 = np.stack(list(im2s_chw) + [im2s_chw[-1]] * pad)
+    start = time.perf_counter()
+    u, v, _w = batched_coarse2fine_flow(
+        jnp.asarray(x1), jnp.asarray(x2), levels, params, mesh
+    )
+    u = np.asarray(u)[:n]  # completion barrier + drop pad results
+    v = np.asarray(v)[:n]
+    per = (time.perf_counter() - start) / n
+    timing = {
+        "Total Device Execution": str(per),
+        "Total C++ Execution": str(per),
+    }
+    return [dict(timing) for _ in range(n)], u, v
+
+
+def build_mesh_from_args(args):
+    """The ``numCores`` knob of the reference (``TestSuite.py:93``) mapped
+    onto a device mesh: ``--mesh-frame/--mesh-ty/--mesh-tx`` pick the
+    data-parallel and spatial-tiling axis sizes.  Returns None when the
+    sweep is single-device."""
+    mf = getattr(args, "mesh_frame", 1) or 1
+    mt = getattr(args, "mesh_ty", 1) or 1
+    mx = getattr(args, "mesh_tx", 1) or 1
+    if mf * mt * mx <= 1:
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    need = mf * mt * mx
+    devices = jax.devices()
+    if len(devices) < need:
+        raise SystemExit(
+            f"mesh {mf}x{mt}x{mx} needs {need} devices, "
+            f"have {len(devices)}"
+        )
+    return make_mesh(mf, mt, devices=devices[:need], n_tx=mx)
+
+
 def run_sweep(args) -> dict:
     gen = FramePairGenerator(args.root)
     if args.collections:
@@ -114,6 +169,7 @@ def run_sweep(args) -> dict:
         done = set(json.loads(manifest_path.read_text())["completed"])
 
     params = DEFAULT_PARAMS
+    mesh = build_mesh_from_args(args)
     n_devices = 1
     try:
         import jax
@@ -225,7 +281,14 @@ def run_sweep(args) -> dict:
                         f" P[{levels}]" + (f" B[{batch}]" if batch > 1 else ""),
                         flush=True,
                     )
-                    if len(group) == 1:
+                    if mesh is not None:
+                        timings, us, vs = _flow_chw_mesh(
+                            [a for a, _ in ims], [b for _, b in ims],
+                            levels, params, mesh,
+                        )
+                        for pair, timing, u, v in zip(group, timings, us, vs):
+                            record_pair(pair, timing, u, v)
+                    elif len(group) == 1:
                         timing, u, v = _flow_chw(
                             ims[0][0], ims[0][1], levels, params
                         )
@@ -273,6 +336,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pairs per device dispatch to sweep — the TPU "
                         "analogue of the reference's threadProgression "
                         "(TestSuite.py:93)")
+    p.add_argument("--mesh-frame", type=int, default=1,
+                   help="frame (data-parallel) mesh axis size; the sweep "
+                        "routes through batched_coarse2fine_flow when any "
+                        "mesh axis > 1")
+    p.add_argument("--mesh-ty", type=int, default=1,
+                   help="row-tiling mesh axis size (spatial sharding of "
+                        "each pair's solve)")
+    p.add_argument("--mesh-tx", type=int, default=1,
+                   help="second spatial axis; composes with ty into finer "
+                        "row bands (parallel/mesh.py)")
     p.add_argument("--suffix", default="_tpu")
     p.add_argument("--output", default="output")
     p.add_argument("--resume", action="store_true",
