@@ -35,9 +35,14 @@ def vmapped_coarse2fine_flow(
     vmap widens every kernel by the batch dimension; the per-batch warp
     gathers unroll at trace time (see ``ops.interp._gather2d_vmap``), so
     trace/compile time grows with ``B`` — prefer ``mapped_coarse2fine_flow``
-    for large batches.  The SOR dispatch automatically takes the XLA
-    red-black path (the fused Pallas kernel is unbatched).
+    for large batches.  The Pallas SOR kernels have no batching rule
+    (vmapping their pallas_call fails to lower), and the dispatch's
+    trace-time ndim guard cannot see the vmap batch dim — so the XLA
+    red-black path is forced here explicitly.
     """
+    import dataclasses
+
+    params = dataclasses.replace(params, use_pallas_sor=False)
     fn = lambda a, b: _coarse2fine_impl(a, b, pyramid_levels, params)  # noqa: E731
     return jax.vmap(fn)(im1s, im2s)
 

@@ -16,10 +16,17 @@ Design notes
   semantics fall out automatically (forward differences across the real
   bottom edge vanish).
 * Pyramid construction, feature lifting and the final bicubic warp are
-  computed replicated (cheap, once per level); only the fixed-point/SOR
-  state is sharded.  The data term's warp gathers read the full (replicated)
+  computed replicated (once per level); only the fixed-point/SOR state is
+  sharded.  The data term's warp gathers read the full (replicated)
   frame — flow magnitude is unbounded so no fixed halo suffices
   (SURVEY.md §7.3).
+* **Amdahl cap of the replicated work** (measured at 1920px P15 bf16 on
+  v5e via ``profiled_flow``, dispatch floors subtracted): pyramids +
+  per-level features + final bicubic warp are ~0.15-0.25 s of the ~0.76 s
+  single-chip pair time, so per-pair latency speedup from ``ty`` tiling
+  saturates around 3-5x regardless of shard count.  Spatial tiling is the
+  *memory/latency* axis; THROUGHPUT scaling belongs to the ``frame`` axis
+  (``parallel/batch.py``), where pairs are embarrassingly parallel.
 """
 
 from __future__ import annotations
