@@ -287,12 +287,70 @@ def resize_shape(src_h: int, src_w: int, ratio: float) -> Tuple[int, int]:
     return int(float(src_h) * ratio), int(float(src_w) * ratio)
 
 
+# Resize lowering: "matmul" lowers the (separable, static-grid) bilinear
+# resize as two small dense matmuls on the MXU — no gathers at all; "gather"
+# is the original exact-arithmetic path; "auto" picks matmul on TPU for
+# f32/bf16 (gathers serialize per index on TPU; the f64 parity path keeps
+# the gather's exact float ordering).
+_RESIZE_BACKEND = "auto"
+
+
+def _resize_axis_matrix(src: int, dst: int, ratio: float):
+    """(dst, src) row-interpolation matrix of the reference resize grid
+    ``x = (j + 1) / ratio - 1`` with C truncation + clamp
+    (``ImageProcessing.h:213-257``).  Bilinear clamp interpolation is
+    exactly separable per axis, so the 2-D resize is ``Ry @ img @ Rx.T``."""
+    import numpy as np
+
+    m = np.zeros((dst, src), dtype=np.float64)
+    for j in range(dst):
+        x = (j + 1) / ratio - 1
+        xx = float(np.trunc(x))
+        fx = min(max(x - xx, 0.0), 1.0)
+        x0 = min(max(int(xx), 0), src - 1)
+        x1 = min(max(int(xx) + 1, 0), src - 1)
+        m[j, x0] += 1.0 - fx
+        m[j, x1] += fx
+    return m
+
+
+def _resize_matmul(img: jnp.ndarray, dst_h: int, dst_w: int,
+                   y_ratio: float, x_ratio: float) -> jnp.ndarray:
+    src_h, src_w = img.shape[-2], img.shape[-1]
+    acc = jnp.float32 if img.dtype != jnp.float64 else jnp.float64
+    ry = jnp.asarray(_resize_axis_matrix(src_h, dst_h, y_ratio), acc)
+    rx = jnp.asarray(_resize_axis_matrix(src_w, dst_w, x_ratio), acc)
+    out = jnp.einsum(
+        "ds,...sw->...dw", ry, img, preferred_element_type=acc
+    )
+    out = jnp.einsum(
+        "...dw,xw->...dx", out, rx, preferred_element_type=acc
+    )
+    return out.astype(img.dtype)
+
+
+def _use_matmul_resize(dtype) -> bool:
+    if _RESIZE_BACKEND == "matmul":
+        return True
+    if _RESIZE_BACKEND == "gather":
+        return False
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu" and dtype in (jnp.float32, jnp.bfloat16)
+
+
 def resize_to(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
     """Bilinear resize to explicit dims on the reference grid
     ``x = (j + 1) / (dst / src) - 1`` (``ImageProcessing.h:238-257``)."""
     src_h, src_w = img.shape[-2], img.shape[-1]
     x_ratio = float(dst_w) / float(src_w)
     y_ratio = float(dst_h) / float(src_h)
+    if _use_matmul_resize(img.dtype):
+        return _resize_matmul(img, dst_h, dst_w, y_ratio, x_ratio)
     j = jnp.arange(dst_w, dtype=jnp.float64 if img.dtype == jnp.float64 else jnp.float32)
     i = jnp.arange(dst_h, dtype=j.dtype)
     x = (j + 1) / x_ratio - 1
@@ -309,6 +367,8 @@ def resize_by_ratio(img: jnp.ndarray, ratio: float) -> jnp.ndarray:
     realized dst/src quotient."""
     src_h, src_w = img.shape[-2], img.shape[-1]
     dst_h, dst_w = resize_shape(src_h, src_w, ratio)
+    if _use_matmul_resize(img.dtype):
+        return _resize_matmul(img, dst_h, dst_w, ratio, ratio)
     j = jnp.arange(dst_w, dtype=jnp.float64 if img.dtype == jnp.float64 else jnp.float32)
     i = jnp.arange(dst_h, dtype=j.dtype)
     x = (j + 1) / ratio - 1

@@ -79,6 +79,23 @@ class TestInterp:
         got = hwc(interp.resize_to(chw(img), 9, 11))
         np.testing.assert_allclose(got, want, atol=1e-12)
 
+    @pytest.mark.parametrize("dims", [(9, 11, 13, 17), (26, 35, 20, 26)])
+    def test_resize_matmul_backend_matches_gather(self, dims, monkeypatch):
+        # The MXU lowering of the resize (two static interpolation
+        # matmuls) must agree with the exact gather path; it is separable
+        # bilinear with identical clamp/truncation semantics, differing
+        # only in float summation order.
+        dh, dw, sh, sw = dims
+        img = rand_img(sh, sw)
+        want = hwc(interp.resize_to(chw(img), dh, dw))
+        monkeypatch.setattr(interp, "_RESIZE_BACKEND", "matmul")
+        got = hwc(interp.resize_to(chw(img), dh, dw))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        r = 0.75
+        want_r = np_ref.resize_ratio(img, r)
+        got_r = hwc(interp.resize_by_ratio(chw(img), r))
+        np.testing.assert_allclose(got_r, want_r, atol=1e-12)
+
     def test_warp_bilinear_oob_copies_im1(self):
         im1, im2 = rand_img(7, 9), rand_img(7, 9)
         vx = RNG.normal(size=(7, 9)) * 3
