@@ -70,7 +70,16 @@ def warp_bicubic_ref(
     c = im2_.shape[-3]
     stack4 = jnp.concatenate([im2_, imdx_, imdy_, imdxdy_], axis=-3)  # (4C,H,W)
     pack16 = pack_patch2x2(stack4)  # (16C, H, W): [p00(4C), p10, p01, p11]
-    patch = gather2d(pack16, y0, x0)  # (16C, *S)
+    # One gather per CORNER block (4C channels each) instead of a single
+    # 16C-wide gather: measured on v5e at 1080x1920x3ch f32, the corner
+    # chunks let XLA fold each gather back through the pack's concat onto
+    # its shifted source (4x12-ch chunks: 28 ms vs 146 ms for the single
+    # 48-ch gather).  Values are identical — only the gather partitioning
+    # changes.
+    patch = jnp.concatenate(
+        [gather2d(pack16[k * 4 * c:(k + 1) * 4 * c], y0, x0) for k in range(4)],
+        axis=0,
+    )  # (16C, *S)
 
     def part(corner, field):
         start = corner * 4 * c + field * c

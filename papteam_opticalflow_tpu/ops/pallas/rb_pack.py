@@ -30,12 +30,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def pack_rb(x: jnp.ndarray):
-    """Pack ``(..., H, W)`` (W even) into dense ``(R, B)`` half-planes."""
+def pack_rb(x: jnp.ndarray, row0=0):
+    """Pack ``(..., H, W)`` (W even) into dense ``(R, B)`` half-planes.
+
+    ``row0``: global index of row 0 (may be a traced value) — colors are
+    assigned by GLOBAL ``(i + j)`` parity, so row bands that start at an
+    odd global row pack consistently with whole-image packing."""
     h = x.shape[-2]
     ev = x[..., 0::2]
     od = x[..., 1::2]
-    evrow = (jnp.arange(h) % 2 == 0)[:, None]
+    evrow = (((jnp.arange(h) + row0) % 2) == 0)[:, None]
     r = jnp.where(evrow, ev, od)
     b = jnp.where(evrow, od, ev)
     return r, b
@@ -49,10 +53,10 @@ def pack_rb_concat(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([r, b], axis=-1)
 
 
-def unpack_rb(r: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`pack_rb`."""
+def unpack_rb(r: jnp.ndarray, b: jnp.ndarray, row0=0) -> jnp.ndarray:
+    """Inverse of :func:`pack_rb` (same ``row0`` parity offset)."""
     h, w2 = r.shape[-2], r.shape[-1]
-    evrow = (jnp.arange(h) % 2 == 0)[:, None]
+    evrow = (((jnp.arange(h) + row0) % 2) == 0)[:, None]
     ev = jnp.where(evrow, r, b)
     od = jnp.where(evrow, b, r)
     return jnp.stack([ev, od], axis=-1).reshape(*r.shape[:-2], h, 2 * w2)

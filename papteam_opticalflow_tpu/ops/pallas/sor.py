@@ -136,6 +136,119 @@ def _sor_call(*halves, n_iterations, h, w, alpha, omega):
     )(*halves)
 
 
+def _sor_band_kernel(
+    n_sweeps: int,
+    real_h: int,
+    real_w: int,
+    alpha: float,
+    omega: float,
+    row0_ref,  # SMEM (1,1): global row index of the band's first row
+    phi_r_ref, phi_b_ref,
+    imdxy_r_ref, imdxy_b_ref,
+    denx_r_ref, denx_b_ref,
+    deny_r_ref, deny_b_ref,
+    rhsx_r_ref, rhsx_b_ref,
+    rhsy_r_ref, rhsy_b_ref,
+    du_r_in_ref, du_b_in_ref,
+    dv_r_in_ref, dv_b_in_ref,
+    du_r_ref, du_b_ref,
+    dv_r_ref, dv_b_ref,
+):
+    """Packed red-black sweeps over a ROW BAND of a larger image: row
+    parity and border masks come from GLOBAL row indices (``row0`` may be
+    negative for a clamp-extended ghost band — such rows mask like row <=0
+    and their values never propagate inward within the ghost budget).
+    Used by the sharded ghost-zone solver (``parallel/tiled.py``) so the
+    multi-chip path runs the same VMEM-resident kernel as single-chip."""
+    phi_r = phi_r_ref[:]
+    phi_b = phi_b_ref[:]
+    t = phi_r.dtype.type
+    alpha = t(alpha)
+    omega = t(omega)
+    rdx_r = omega / denx_r_ref[:]
+    rdx_b = omega / denx_b_ref[:]
+    rdy_r = omega / deny_r_ref[:]
+    rdy_b = omega / deny_b_ref[:]
+
+    rows, w2 = phi_r.shape
+    li = jax.lax.broadcasted_iota(jnp.int32, (rows, w2), 0)
+    gi = li + row0_ref[0, 0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (rows, w2), 1)
+    evrow = (gi % 2) == 0
+    weights = make_packed_weights(phi_r, phi_b, gi, jj, real_h, real_w, _roll)
+    sweep = make_packed_sweep(
+        weights,
+        imdxy_r_ref[:], imdxy_b_ref[:],
+        rdx_r, rdx_b, rdy_r, rdy_b,
+        rhsx_r_ref[:], rhsx_b_ref[:],
+        rhsy_r_ref[:], rhsy_b_ref[:],
+        evrow, alpha, omega, _roll,
+    )
+    du_r, du_b, dv_r, dv_b = jax.lax.fori_loop(
+        0, n_sweeps, lambda _, c: sweep(*c),
+        (du_r_in_ref[:], du_b_in_ref[:], dv_r_in_ref[:], dv_b_in_ref[:]),
+    )
+    du_r_ref[:] = du_r
+    du_b_ref[:] = du_b
+    dv_r_ref[:] = dv_r
+    dv_b_ref[:] = dv_b
+
+
+def band_fits_vmem(rows: int, w: int, dtype) -> bool:
+    """Admission gate for the band kernel (same budget as whole-level)."""
+    return sor_fits_vmem(rows, w, dtype)
+
+
+def sor_band_pallas(
+    du, dv, phi, imdxy, denx, deny, rhs_x, rhs_y,
+    *, row0, real_h: int, real_w: int, n_sweeps: int,
+    alpha: float, omega: float,
+):
+    """``n_sweeps`` packed red-black sweeps on an ``(hE, w)`` band starting
+    at (possibly traced, possibly negative) global row ``row0``; continues
+    from the given ``du``/``dv``.  Same arithmetic as the XLA band sweeps
+    in ``parallel/tiled._ghost_zone_sor``."""
+    hE, w = du.shape
+    w_pad = w + (w % 2)
+    row0 = jnp.asarray(row0, jnp.int32)
+
+    def prep(x, const=0.0):
+        if w_pad != w:
+            x = jnp.pad(x, ((0, 0), (0, 1)), constant_values=const)
+        # Colors by GLOBAL parity: a band starting at an odd global row
+        # must pack consistently with the kernel's gi-based masks.
+        return pack_rb(x, row0=row0)
+
+    halves = (
+        *prep(phi), *prep(imdxy), *prep(denx, 1.0), *prep(deny, 1.0),
+        *prep(rhs_x), *prep(rhs_y), *prep(du), *prep(dv),
+    )
+    kernel = functools.partial(
+        _sor_band_kernel, n_sweeps, real_h, real_w,
+        float(alpha), float(omega),
+    )
+    w2 = w_pad // 2
+    row0_arr = row0.reshape(1, 1)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((hE, w2), du.dtype)] * 4,
+        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=44 * n_sweeps * hE * w2,
+            bytes_accessed=20 * hE * w2 * du.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(row0_arr, *halves)
+    du_r, du_b, dv_r, dv_b = out
+    return (
+        unpack_rb(du_r, du_b, row0=row0)[:, :w],
+        unpack_rb(dv_r, dv_b, row0=row0)[:, :w],
+    )
+
+
 def sor_solve_pallas(system, n_iterations: int, params) -> Tuple[jnp.ndarray, jnp.ndarray]:
     h, w = system.phi.shape
     w_pad = w + (w % 2)

@@ -177,6 +177,7 @@ def _ghost_zone_sor(
     omega,
     sweeps_per_exchange: int,
     axis_name,
+    use_pallas: bool = False,
 ):
     """Red-black SOR over row shards with ghost-zone (temporally blocked)
     halo exchange — the scalable replacement for the reference's chaotic
@@ -197,6 +198,12 @@ def _ghost_zone_sor(
     The redundant ghost-row compute (``4S`` extra rows per shard per
     sweep) trades VPU flops for ICI latency, exactly as the Pallas kernel
     trades them for HBM traffic.
+
+    With ``use_pallas`` (TPU backend), each chunk's local sweeps run in
+    the packed VMEM-resident band kernel (``ops/pallas/sor.sor_band_pallas``
+    — global-row-offset-aware masks/parity) when the extended band fits
+    the VMEM budget, so the multi-chip path keeps the single-chip kernel's
+    sweep throughput; oversized bands fall back to the XLA sweeps.
     """
     h, w = du.shape
     dt = du.dtype
@@ -219,6 +226,11 @@ def _ghost_zone_sor(
     gext = r0 - G + jnp.arange(h + 2 * G)
     jcol = jnp.arange(w)
     red_e = ((gext[:, None] + jcol[None, :]) % 2) == 0
+
+    if use_pallas:
+        from ..ops.pallas.sor import band_fits_vmem
+
+        use_pallas = band_fits_vmem(h + 2 * G, w, dt)
 
     def band_arrays(gg: int):
         """Views of the G-extended planes/masks at ghost width ``gg``."""
@@ -245,13 +257,23 @@ def _ghost_zone_sor(
         rdx = omega / p[2]
         rdy = omega / p[3]
         return (p[1], p[4], p[5], wl, wr, wu, wd, rdx, rdy, red_e[sl],
-                zcol, zrow)
+                zcol, zrow, p)
 
     def run_chunk(du, dv, n_sweeps: int, gg: int, band):
         (imdxy_e, rhsx_e, rhsy_e, wl, wr, wu, wd, rdx, rdy, red,
-         zcol, zrow) = band
+         zcol, zrow, p) = band
         duv = with_halo_rows(jnp.stack([du, dv]), gg, axis_name)
         du_e, dv_e = duv[0], duv[1]
+
+        if use_pallas:
+            from ..ops.pallas.sor import sor_band_pallas
+
+            du_e, dv_e = sor_band_pallas(
+                du_e, dv_e, p[0], p[1], p[2], p[3], p[4], p[5],
+                row0=r0 - gg, real_h=real_h, real_w=w,
+                n_sweeps=n_sweeps, alpha=float(alpha), omega=float(omega),
+            )
+            return du_e[gg:gg + h], dv_e[gg:gg + h]
 
         def nbr(x):
             left = jnp.concatenate([zcol, x[:, :-1]], axis=-1)
@@ -446,12 +468,19 @@ def _tiled_level_solver(
             denx = imdx2 + diag + coeff
             deny = imdy2 + diag + coeff
 
+            from ..models.sor_dispatch import _pallas_available
+
             du, dv = _ghost_zone_sor(
                 du, dv, phi, imdxy, denx, deny, rhs_x, rhs_y,
                 r0=r0, real_h=real_h, n_sor=n_sor,
                 alpha=alpha, omega=omega,
                 sweeps_per_exchange=params.sor_halo_sweeps,
                 axis_name=axis_name,
+                use_pallas=(
+                    params.use_pallas_sor
+                    and params.sor_red_black
+                    and _pallas_available()
+                ),
             )
             du = _repair_ghost(du, r0, h, real_h)
             dv = _repair_ghost(dv, r0, h, real_h)
