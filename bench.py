@@ -265,6 +265,7 @@ def main():
         (width_px, levels, 1),
         (960, 8, 1),
         (480, 4, 1),
+        (240, 2, 1),
     ]
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     last_err = None

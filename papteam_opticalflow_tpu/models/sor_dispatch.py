@@ -20,6 +20,47 @@ def _pallas_available() -> bool:
     return backend == "tpu"
 
 
+# Probe-compile results per (h_pad, w2p, window_rows, dtype): the blocked
+# kernel's admission constants (window-area ceiling, VMEM planes budget)
+# are calibrated against one Mosaic toolchain by observing compiler
+# failures; a toolchain update could move the ceiling.  Before the first
+# real use of a blocking plan, AOT-compile one chunk at the target shape
+# and fall back to the next-smaller plan (ultimately the XLA path) if the
+# compiler rejects it — turning a would-be hard crash of the whole program
+# into a graceful downgrade.  Probing runs at Python trace time, outside
+# the enclosing jit, and each shape is probed once per process (results
+# also land in the persistent compilation cache).
+_PLAN_PROBES: dict = {}
+
+
+def _probe_blocked_plan(h: int, w: int, dtype, plan) -> bool:
+    from ..ops.pallas import sor_blocked as blk
+
+    if blk._INTERPRET:  # CPU interpret tests: nothing to probe
+        return True
+    band_rows, s = plan
+    h_pad = -(-h // 8) * 8
+    w2p = blk._half_width(w)
+    window_rows = band_rows + 4 * s
+    key = (h_pad, w2p, window_rows, jnp.dtype(dtype).str)
+    hit = _PLAN_PROBES.get(key)
+    if hit is not None:
+        return hit
+    try:
+        args = [
+            jax.ShapeDtypeStruct((h_pad, w2p), dtype) for _ in range(16)
+        ]
+        blk._sor_blocked_chunk.lower(
+            *args, h=h, w=w, n_sweeps=1, band_rows=band_rows,
+            window_rows=window_rows, alpha=0.012, omega=1.8,
+        ).compile()
+        ok = True
+    except Exception:
+        ok = False
+    _PLAN_PROBES[key] = ok
+    return ok
+
+
 def sor_solve(
     system: SorSystem, n_iterations: int, params: FlowParams
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -34,12 +75,15 @@ def sor_solve(
         and _pallas_available()
     ):
         from ..ops.pallas.sor import sor_fits_vmem, sor_solve_pallas
-        from ..ops.pallas.sor_blocked import plan_blocking, sor_solve_blocked
+        from ..ops.pallas.sor_blocked import (
+            plan_blocking_candidates,
+            sor_solve_blocked,
+        )
 
         h, w = system.phi.shape[-2], system.phi.shape[-1]
         if sor_fits_vmem(h, w, system.phi.dtype):
             return sor_solve_pallas(system, n_iterations, params)
-        plan = plan_blocking(h, w, system.phi.dtype.itemsize)
-        if plan is not None:
-            return sor_solve_blocked(system, n_iterations, params, plan)
+        for plan in plan_blocking_candidates(h, w, system.phi.dtype.itemsize):
+            if _probe_blocked_plan(h, w, system.phi.dtype, plan):
+                return sor_solve_blocked(system, n_iterations, params, plan)
     return sor_solve_jnp(system, n_iterations, params)

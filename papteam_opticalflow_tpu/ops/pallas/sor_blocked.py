@@ -77,13 +77,15 @@ def _half_width(w: int) -> int:
     return -(-((w + 1) // 2) // 128) * 128
 
 
-def plan_blocking(h: int, w: int, itemsize: int) -> Tuple[int, int] | None:
-    """Pick (band_rows R, sweeps_per_chunk S) such that the ghost-zone
-    window fits both the VMEM budget and the Mosaic window-area ceiling;
-    None if the level is too small to be worth blocking.  Budget against
-    the lane-aligned packed half width.  Larger R amortizes the 4S halo
-    rows over more valid rows."""
+def plan_blocking_candidates(h: int, w: int, itemsize: int):
+    """All admissible (band_rows R, sweeps_per_chunk S) plans, deepest
+    first, that fit the VMEM budget and the Mosaic window-area ceiling.
+    Budget against the lane-aligned packed half width.  Larger R amortizes
+    the 4S halo rows over more valid rows.  The dispatch layer
+    probe-compiles the first candidate and falls through this list if a
+    future Mosaic toolchain moves the ceiling."""
     w2p = _half_width(w)
+    out = []
     # NOTE: every candidate keeps 2*s % 8 == 0 so win_start = out_start -
     # halo stays sublane-aligned (the r1 (32, 2) plan violated that).
     for r, s in ((224, 8), (160, 8), (128, 8), (96, 8), (80, 8), (64, 8),
@@ -94,8 +96,15 @@ def plan_blocking(h: int, w: int, itemsize: int) -> Tuple[int, int] | None:
         if v * w2p > _WINDOW_ELEMS_MAX:
             continue
         if _WINDOW_HALF_PLANES * v * w2p * itemsize <= _VMEM_BUDGET_BYTES:
-            return r, s
-    return None
+            out.append((r, s))
+    return out
+
+
+def plan_blocking(h: int, w: int, itemsize: int) -> Tuple[int, int] | None:
+    """First (deepest) admissible blocking plan; None if the level is too
+    small to be worth blocking."""
+    cands = plan_blocking_candidates(h, w, itemsize)
+    return cands[0] if cands else None
 
 
 def _sor_blocked_kernel(

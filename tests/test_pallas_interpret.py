@@ -142,6 +142,37 @@ class TestBlockedKernel:
         assert_ulp_close(du0, du1)
         assert_ulp_close(dv0, dv1)
 
+    def test_plan_probe_fallback(self, monkeypatch):
+        """If Mosaic rejects the deepest blocking plan (e.g. a toolchain
+        update moves the window-area ceiling), the dispatch probe must
+        fall through to the next candidate instead of crashing the whole
+        program."""
+        import papteam_opticalflow_tpu.models.sor_dispatch as dispatch
+
+        h, w = 400, 1920
+        cands = pblk.plan_blocking_candidates(h, w, 4)
+        assert len(cands) >= 2
+        # Descending depth: band_rows non-increasing.
+        assert all(a[0] >= b[0] for a, b in zip(cands, cands[1:]))
+
+        calls = []
+
+        class Boom(Exception):
+            pass
+
+        def fake_lower(*a, **k):
+            calls.append(k["band_rows"])
+            raise Boom()
+
+        monkeypatch.setattr(dispatch, "_PLAN_PROBES", {})
+        monkeypatch.setattr(pblk._sor_blocked_chunk, "lower", fake_lower,
+                            raising=False)
+        monkeypatch.setattr(pblk, "_INTERPRET", False)
+        assert dispatch._probe_blocked_plan(h, w, jnp.float32, cands[0]) is False
+        # Second call for the same shape is served from the probe cache.
+        assert dispatch._probe_blocked_plan(h, w, jnp.float32, cands[0]) is False
+        assert len(calls) == 1
+
     def test_plan_alignment(self):
         # Every plan must keep the DMA window sublane-aligned: halo = 2S
         # and band_rows both multiples of 8 (ADVICE r1: (32,2) violated it).
