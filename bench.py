@@ -42,6 +42,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Canonical dataset heights per collection width (16:9-ish traffic video).
+HEIGHT_OF_WIDTH = {240: 135, 480: 270, 960: 540, 1920: 1080}
+
+
 def load_pairs(width_px: int, n: int = 1):
     """``n`` distinct consecutive frame pairs as two (n, H, W, 3) stacks."""
     from papteam_opticalflow_tpu.data.discovery import FramePairGenerator
@@ -62,7 +66,7 @@ def load_pairs(width_px: int, n: int = 1):
         ])
         return a, b
     # Dataset not mounted: synthesize frames at the canonical size.
-    h = {240: 135, 480: 270, 960: 540, 1920: 1080}.get(width_px, width_px * 9 // 16)
+    h = HEIGHT_OF_WIDTH.get(width_px, width_px * 9 // 16)
     rng = np.random.default_rng(0)
     a = rng.random((n, h, width_px, 3), dtype=np.float32)
     b = np.roll(a, 2, axis=2)
@@ -152,7 +156,7 @@ def bench_config(width_px: int, levels: int, iters: int, batch: int = 1):
     }
 
 
-def sor_roofline(width_px: int, dtype_name: str):
+def sor_roofline(width_px: int):
     """Isolated SOR-kernel utilization at the finest level of the bench
     config (VERDICT r1 item 3: report how far the dominant kernel is from
     the hardware roofline, not just CPU-relative speedup).
@@ -168,9 +172,9 @@ def sor_roofline(width_px: int, dtype_name: str):
     from papteam_opticalflow_tpu.models.sor_dispatch import sor_solve
     from papteam_opticalflow_tpu.utils.params import DEFAULT_PARAMS
 
-    h = {240: 135, 480: 270, 960: 540, 1920: 1080}.get(
-        width_px, width_px * 9 // 16
-    )
+    # The SOR system is always f32 regardless of BENCH_DTYPE (images may
+    # be bf16; flow/solver stay f32 by design).
+    h = HEIGHT_OF_WIDTH.get(width_px, width_px * 9 // 16)
     w = width_px
     rng = np.random.default_rng(0)
     f = lambda lo=0.5: jnp.asarray(  # noqa: E731
@@ -279,7 +283,7 @@ def main():
             # sink a successful headline measurement.
             try:
                 signal.alarm(per_attempt_s)
-                result["sor_roofline"] = sor_roofline(w_px, dtype_name)
+                result["sor_roofline"] = sor_roofline(w_px)
                 result["phases"] = phase_breakdown(w_px, lv, dtype_name)
                 signal.alarm(0)
             except Exception as e:  # noqa: BLE001

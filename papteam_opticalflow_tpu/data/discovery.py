@@ -115,12 +115,25 @@ class ImageCollection:
         """Consecutive pairs via the reference's successor guess: frame N's
         filename digit-string is incremented and the pair is kept only if
         that guessed file exists (TestImagePairGenerator.py:151-171,
-        TestImage.after)."""
+        TestImage.after).
+
+        Two sanity guards the reference lacks (its guess can misfire on
+        layouts outside its own ``frame_#####.jpg`` datasets): a pair is
+        dropped when the guess degenerates to the same file (stems whose
+        digits are non-contiguous make the replace a no-op — the reference
+        would pair a frame with itself), or when both stems parse to
+        trailing indices that are not consecutive (width-overflow rollover
+        like ``frame_9 -> frame_0``).  Neither guard changes behavior on
+        the reference's zero-padded collections."""
         out = []
         for f in self.frames():
             nxt = f.after()
-            if nxt.path.is_file():
-                out.append(FramePair(f, nxt))
+            if not nxt.path.is_file() or nxt.path == f.path:
+                continue
+            fi, ni = f.index, FrameImage(nxt.path).index
+            if fi is not None and ni is not None and ni != fi + 1:
+                continue
+            out.append(FramePair(f, nxt))
         return out
 
 

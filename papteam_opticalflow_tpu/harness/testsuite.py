@@ -170,13 +170,12 @@ def run_sweep(args) -> dict:
 
     params = DEFAULT_PARAMS
     mesh = build_mesh_from_args(args)
-    n_devices = 1
-    try:
-        import jax
-
-        n_devices = len(jax.devices())
-    except Exception:
-        pass
+    if mesh is not None:
+        # Timing rows must report the devices actually driven, not the
+        # host's device count (the mesh may use a subset).
+        n_devices = mesh.devices.size
+    else:
+        n_devices = 1
 
     stats = {"completed": 0, "skipped": 0, "failed": 0}
     t_begin = time.perf_counter()
@@ -243,6 +242,13 @@ def run_sweep(args) -> dict:
                             key=key, status="ok", collection=collection,
                             levels=levels, devices=n_devices, batch=batch,
                             seconds=float(timing["Total Device Execution"]),
+                            # batch/mesh groups report wall/batch (pairs
+                            # share one dispatch; no device-side per-pair
+                            # timer exists on this platform)
+                            timing_mode=(
+                                "per_pair" if batch == 1 and mesh is None
+                                else "wall_over_batch"
+                            ),
                             max_flow=max_flow,
                         )
                     )

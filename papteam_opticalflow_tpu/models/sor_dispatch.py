@@ -50,8 +50,12 @@ def _probe_blocked_plan(h: int, w: int, dtype, plan) -> bool:
         args = [
             jax.ShapeDtypeStruct((h_pad, w2p), dtype) for _ in range(16)
         ]
+        # Probe the SAME program shape production will use (n_sweeps = S):
+        # a failure mode that depends on the compiled sweep program rather
+        # than the window alone must also trip the probe, and the probe's
+        # compile seeds the persistent cache for the real full chunks.
         blk._sor_blocked_chunk.lower(
-            *args, h=h, w=w, n_sweeps=1, band_rows=band_rows,
+            *args, h=h, w=w, n_sweeps=s, band_rows=band_rows,
             window_rows=window_rows, alpha=0.012, omega=1.8,
         ).compile()
         ok = True

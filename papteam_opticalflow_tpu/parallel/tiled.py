@@ -50,7 +50,13 @@ from ..ops.filters import (
     correlate1d,
     correlate1d_valid,
 )
-from ..ops.interp import bilinear_gather_packed, pack_patch2x2, resize_to
+from ..ops.interp import (
+    bilinear_gather,
+    bilinear_gather_packed,
+    pack_patch2x2,
+    resize_to,
+    should_pack_warp,
+)
 from ..ops.robust import assemble_system, phi_weight, psi_weight
 from ..utils.params import FlowParams, Interpolation
 from .halo import with_halo_rows
@@ -114,17 +120,23 @@ def _get_dxs_band(feat1_b4, warp_b4, r0, real_h: int):
     return imdx, imdy, imdt
 
 
-def _warp_band(feat1_b, feat2_pack, u_b, v_b, y_rows, h_img):
+def _warp_band(feat1_b, feat2, feat2_pack, u_b, v_b, y_rows, h_img):
     """Bilinear backward warp for band rows; OOB copies feat1
     (ImageProcessing.h:495-520).  ``feat2_pack``: ``pack_patch2x2`` of the
-    full frame; ``y_rows``: global (clamped) row index per band row."""
-    w = feat2_pack.shape[-1]
-    ftype = feat2_pack.dtype
+    full frame when ``should_pack_warp`` says so, else None (wide-f32
+    slices gather faster as four unpacked corner gathers — same policy as
+    the single-chip path); ``y_rows``: global (clamped) row index per
+    band row."""
+    w = feat2.shape[-1]
+    ftype = feat2.dtype
     j = jnp.arange(w, dtype=ftype)
     x = j[None, :] + u_b
     y = y_rows.astype(ftype)[:, None] + v_b
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h_img - 1)
-    sampled = bilinear_gather_packed(feat2_pack, x, y)
+    if feat2_pack is not None:
+        sampled = bilinear_gather_packed(feat2_pack, x, y)
+    else:
+        sampled = bilinear_gather(feat2, x, y)
     return jnp.where(oob, feat1_b, sampled)
 
 
@@ -388,7 +400,9 @@ def _tiled_level_solver(
     m_bot = (g < real_h - 1)[:, None]
 
     feat1_p4 = _edge_fix_pad(feat1, real_h, pad_h, 4)
-    feat2_pack = pack_patch2x2(feat2)  # flow-independent; built once per level
+    # Flow-independent; built once per level — but only when packing keeps
+    # the gather on its fast path (same policy as the single-chip warp).
+    feat2_pack = pack_patch2x2(feat2) if should_pack_warp(feat2) else None
     y4 = jnp.clip(r0 - 4 + jnp.arange(h + 8), 0, real_h - 1)
 
     def gather_full(x_loc):
@@ -406,7 +420,7 @@ def _tiled_level_solver(
         u_b4 = _band(u_p4, r0, h + 8, 4, 4)
         v_b4 = _band(v_p4, r0, h + 8, 4, 4)
         f1_b4 = _band(feat1_p4, r0, h + 8, 4, 4)
-        warp_b4 = _warp_band(f1_b4, feat2_pack, u_b4, v_b4, y4, real_h)
+        warp_b4 = _warp_band(f1_b4, feat2, feat2_pack, u_b4, v_b4, y4, real_h)
         imdx, imdy, imdt = _get_dxs_band(f1_b4, warp_b4, r0, real_h)
 
         u_b2 = u_b4[..., 2:-2, :]

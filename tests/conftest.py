@@ -27,15 +27,23 @@ def _ensure_native_loader():
 
     repo = Path(__file__).resolve().parent.parent
     so = repo / "native" / "lib" / "libofloader.so"
-    if so.exists():
-        return
+    stamp = repo / "native" / "lib" / ".build_failed"
+    if so.exists() or stamp.exists():  # negative cache: don't re-block
+        return  # every pytest run on a machine where the build fails
     try:
-        subprocess.run(
+        r = subprocess.run(
             ["bash", str(repo / "native" / "build.sh")],
             check=False, capture_output=True, timeout=180,
         )
+        if r.returncode != 0 and not so.exists():
+            stamp.parent.mkdir(parents=True, exist_ok=True)
+            stamp.write_bytes(r.stderr[-2000:])
     except Exception:
-        pass  # tests will skip with their usual message
+        try:
+            stamp.parent.mkdir(parents=True, exist_ok=True)
+            stamp.touch()
+        except Exception:
+            pass  # tests will skip with their usual message
 
 
 _ensure_native_loader()

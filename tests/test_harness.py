@@ -60,6 +60,25 @@ class TestDiscovery:
         g = FrameImage(tmp_path / "frame999.jpg")
         assert g.after().path.name == "frame000.jpg"
 
+    def test_pairing_guards_degenerate_guesses(self, tmp_path):
+        """The digit-string guess can misfire on layouts outside the
+        reference's own datasets; pairs() must not emit self-pairs
+        (non-contiguous digits make the replace a no-op) or rollover
+        pairs like frame_9 -> frame_0."""
+        d = tmp_path / "images_New" / "coll"
+        d.mkdir(parents=True)
+        # digits_in('cam2_frame_0005') = '20005' never occurs in the name.
+        (d / "cam2_frame_0005.jpg").write_bytes(b"")
+        pairs = ImageCollection(d).pairs()
+        assert pairs == []
+
+        d2 = tmp_path / "images_New" / "roll"
+        d2.mkdir(parents=True)
+        (d2 / "frame_9.jpg").write_bytes(b"")
+        (d2 / "frame_0.jpg").write_bytes(b"")
+        names = [p.as_storage_string() for p in ImageCollection(d2).pairs()]
+        assert names == []  # frame_9 -> frame_0 rollover rejected
+
 
 class TestFlowIO:
     def test_fixed_point_roundtrip(self, tmp_path):

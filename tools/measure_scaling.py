@@ -53,6 +53,7 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
