@@ -195,8 +195,16 @@ def _sor_band_kernel(
 
 
 def band_fits_vmem(rows: int, w: int, dtype) -> bool:
-    """Admission gate for the band kernel (same budget as whole-level)."""
-    return sor_fits_vmem(rows, w, dtype)
+    """Admission gate for the band kernel.  Unlike the whole-level kernel
+    (default 16 MB scoped limit), the band call raises its scoped-VMEM
+    limit like the blocked kernel does, so the budget is 48 half-planes
+    against 56 MB; the per-value Mosaic window-area ceiling (~215k
+    elements, see sor_blocked.py) still applies."""
+    w2_pad = -(-((w + 1) // 2) // 128) * 128
+    rows_pad = -(-rows // 8) * 8
+    if rows_pad * w2_pad > 215_040:
+        return False
+    return 48 * rows * (w2_pad) * jnp.dtype(dtype).itemsize <= 56 * 1024 * 1024
 
 
 def sor_band_pallas(
@@ -229,12 +237,21 @@ def sor_band_pallas(
     )
     w2 = w_pad // 2
     row0_arr = row0.reshape(1, 1)
+    # Raise the scoped-VMEM limit to the band's actual footprint (the
+    # default ~16 MB cap rejects realistic 1920px-wide shard bands; a
+    # 167x960-half band measured 16.93 MB scoped).  48 half-planes covers
+    # the ~27 measured resident planes plus Mosaic temporaries.
+    vmem_limit = min(
+        100 * 2**20,
+        max(24 * 2**20, 48 * hE * w2 * du.dtype.itemsize),
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((hE, w2), du.dtype)] * 4,
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=44 * n_sweeps * hE * w2,
             bytes_accessed=20 * hE * w2 * du.dtype.itemsize,
