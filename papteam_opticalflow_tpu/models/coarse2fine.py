@@ -91,8 +91,14 @@ def _coarse2fine_impl(
         )
 
     # Final full-resolution warp operates on the RAW frames, not features
-    # (OpticalFlow.cpp:929-932).
-    warp_i2 = threshold01(warp_bicubic_ref(im1, im2, u, v))
+    # (OpticalFlow.cpp:929-932).  On the bf16 image path the gathered
+    # stencil table also stores bf16 (same accuracy class as the bf16
+    # pyramid planes; halves the final gather's bytes).
+    table_dtype = (
+        jnp.bfloat16 if params.image_dtype == "bfloat16" else None
+    )
+    warp_i2 = threshold01(warp_bicubic_ref(im1, im2, u, v,
+                                           table_dtype=table_dtype))
     return u, v, warp_i2
 
 

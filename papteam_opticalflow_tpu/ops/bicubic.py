@@ -35,12 +35,19 @@ _HERMITE_M = np.array(
 
 
 def warp_bicubic_ref(
-    ref: jnp.ndarray, im2: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray
+    ref: jnp.ndarray,
+    im2: jnp.ndarray,
+    vx: jnp.ndarray,
+    vy: jnp.ndarray,
+    table_dtype=None,
 ) -> jnp.ndarray:
     """Bicubic backward warp of ``im2`` by flow ``(vx, vy)``; out-of-bounds
     targets copy ``ref`` (``Image.h:2687-2768``).
 
     ``ref``, ``im2``: ``(..., H, W)``; ``vx``, ``vy``: ``(H, W)``.
+    ``table_dtype``: optional storage dtype for the gathered stencil table
+    (e.g. bf16 halves the gather bytes on the bf16 image path; the Hermite
+    evaluation stays in the image dtype).
     """
     h, w = im2.shape[-2], im2.shape[-1]
     dtype = im2.dtype
@@ -69,6 +76,8 @@ def warp_bicubic_ref(
     )
     c = im2_.shape[-3]
     stack4 = jnp.concatenate([im2_, imdx_, imdy_, imdxdy_], axis=-3)  # (4C,H,W)
+    if table_dtype is not None:
+        stack4 = stack4.astype(table_dtype)
     pack16 = pack_patch2x2(stack4)  # (16C, H, W): [p00(4C), p10, p01, p11]
     # One gather per CORNER block (4C channels each) instead of a single
     # 16C-wide gather: measured on v5e at 1080x1920x3ch f32, the corner
