@@ -11,7 +11,7 @@ Config via env:
   BENCH_CONFIG=1920:15:4 (<width_px>:<pyramid_levels>[:<batch>]), default
   1920:15:4 — the reference's heaviest headline config (TestSuite.py sweep
   max).  Measured on v5e (r2): 621.8 ms/pair = 108x the serial C++
-  baseline (960:8:8 alternative: ~134 ms/pair = 59x).
+  baseline (960:8:8 alternative: 113.8 ms/pair = 69x).
   batch>1 maps consecutive frame pairs into one dispatch (single chip)
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
   fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with ~10x
