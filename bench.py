@@ -15,8 +15,9 @@ Config via env:
   batch>1 maps consecutive frame pairs into one dispatch (single chip)
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
   fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with ~10x
-  margin: measured 1e-2 px vs the C++ serial oracle.  float32 is bit-closer
-  to the oracle at ~1e-4 px.)
+  margin: measured on-chip 4.2e-3 px vs the C++ serial oracle at 480px P4
+  (r2, README).  float32 on-chip is ~1.0e-3 px; the ~2e-4 px figure applies
+  only to the f64 CPU parity mode.)
   BENCH_ITERS=5
 """
 

@@ -134,6 +134,17 @@ class ImageCollection:
             if fi is not None and ni is not None and ni != fi + 1:
                 continue
             out.append(FramePair(f, nxt))
+        if not out and self.frames():
+            import warnings
+
+            warnings.warn(
+                f"collection {self.name!r} contains frames but produced no "
+                "pairs: reference-parity successor guessing requires stems "
+                "whose digits form one contiguous run that increments by 1 "
+                "between consecutive frames (e.g. frame_00057.jpg -> "
+                "frame_00058.jpg)",
+                stacklevel=2,
+            )
         return out
 
 

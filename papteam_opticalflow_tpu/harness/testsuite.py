@@ -163,10 +163,21 @@ def run_sweep(args) -> dict:
     out_dir.mkdir(parents=True, exist_ok=True)
     timing_tsv = UniversalTimingWriter(out_dir / "UniversalTiming.txt")
     timing_jsonl = JsonlTimingLog(out_dir / "timing.jsonl")
-    manifest_path = out_dir / "sweep_manifest.json"
+    # Append-only manifest: one JSON-encoded key per line, so recording a
+    # completed pair is O(1) instead of rewriting the whole sorted set
+    # (the reference's full sweep is ~1,600 work items).
+    manifest_path = out_dir / "sweep_manifest.jsonl"
+    legacy_manifest = out_dir / "sweep_manifest.json"
     done = set()
-    if args.resume and manifest_path.exists():
-        done = set(json.loads(manifest_path.read_text())["completed"])
+    if args.resume:
+        if manifest_path.exists():
+            done.update(
+                json.loads(line)
+                for line in manifest_path.read_text().splitlines()
+                if line.strip()
+            )
+        if legacy_manifest.exists():  # pre-r3 whole-set format
+            done.update(json.loads(legacy_manifest.read_text())["completed"])
 
     params = DEFAULT_PARAMS
     mesh = build_mesh_from_args(args)
@@ -254,9 +265,8 @@ def run_sweep(args) -> dict:
                     )
                     done.add(key)
                     stats["completed"] += 1
-                    manifest_path.write_text(
-                        json.dumps({"completed": sorted(done)})
-                    )
+                    with manifest_path.open("a") as mf:
+                        mf.write(json.dumps(key) + "\n")
 
                 idx = 0
                 while idx < len(todo):

@@ -320,11 +320,17 @@ def _resize_matmul(img: jnp.ndarray, dst_h: int, dst_w: int,
     acc = jnp.float32 if img.dtype != jnp.float64 else jnp.float64
     ry = jnp.asarray(_resize_axis_matrix(src_h, dst_h, y_ratio), acc)
     rx = jnp.asarray(_resize_axis_matrix(src_w, dst_w, x_ratio), acc)
+    # Precision.HIGHEST: the default TPU matmul precision truncates f32
+    # operands to bf16 on the MXU, which would silently degrade the f32
+    # "bit-closest" mode and the inter-level flow upsample; the matrices
+    # are tiny so the cost is negligible (ADVICE r2 medium).
     out = jnp.einsum(
-        "ds,...sw->...dw", ry, img, preferred_element_type=acc
+        "ds,...sw->...dw", ry, img, preferred_element_type=acc,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out = jnp.einsum(
-        "...dw,xw->...dx", out, rx, preferred_element_type=acc
+        "...dw,xw->...dx", out, rx, preferred_element_type=acc,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(img.dtype)
 

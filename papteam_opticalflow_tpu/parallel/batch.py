@@ -35,14 +35,11 @@ def vmapped_coarse2fine_flow(
     vmap widens every kernel by the batch dimension; the per-batch warp
     gathers unroll at trace time (see ``ops.interp._gather2d_vmap``), so
     trace/compile time grows with ``B`` — prefer ``mapped_coarse2fine_flow``
-    for large batches.  The Pallas SOR kernels have no batching rule
-    (vmapping their pallas_call fails to lower), and the dispatch's
-    trace-time ndim guard cannot see the vmap batch dim — so the XLA
-    red-black path is forced here explicitly.
+    for large batches.  The Pallas SOR kernels batch via a custom rule
+    that ``lax.map``s the unbatched kernel over the batch
+    (``models.sor_dispatch._batchable``), so vmapping no longer downgrades
+    the solver to the XLA path.
     """
-    import dataclasses
-
-    params = dataclasses.replace(params, use_pallas_sor=False)
     fn = lambda a, b: _coarse2fine_impl(a, b, pyramid_levels, params)  # noqa: E731
     return jax.vmap(fn)(im1s, im2s)
 

@@ -126,11 +126,23 @@ class TestSweepCLI:
         stats = testsuite.run_sweep(args)
         assert stats["completed"] == 1 and stats["failed"] == 0
         assert (tmp_path / "UniversalTiming.txt").exists()
-        manifest = json.loads((tmp_path / "sweep_manifest.json").read_text())
-        assert len(manifest["completed"]) == 1
+        manifest_lines = [
+            json.loads(line)
+            for line in (tmp_path / "sweep_manifest.jsonl")
+            .read_text().splitlines() if line.strip()
+        ]
+        assert len(manifest_lines) == 1
 
         # Resume: everything already done -> skipped.
         args = testsuite.build_parser().parse_args(argv + ["--resume"])
+        stats = testsuite.run_sweep(args)
+        assert stats["completed"] == 0 and stats["skipped"] == 1
+
+        # Pre-r3 whole-set manifest format still resumes.
+        (tmp_path / "sweep_manifest.jsonl").unlink()
+        (tmp_path / "sweep_manifest.json").write_text(
+            json.dumps({"completed": manifest_lines})
+        )
         stats = testsuite.run_sweep(args)
         assert stats["completed"] == 0 and stats["skipped"] == 1
 

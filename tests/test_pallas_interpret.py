@@ -168,9 +168,9 @@ class TestBlockedKernel:
         monkeypatch.setattr(pblk._sor_blocked_chunk, "lower", fake_lower,
                             raising=False)
         monkeypatch.setattr(pblk, "_INTERPRET", False)
-        assert dispatch._probe_blocked_plan(h, w, jnp.float32, cands[0]) is False
+        assert dispatch._probe_blocked_plan(h, w, jnp.float32, cands[0], 30) is False
         # Second call for the same shape is served from the probe cache.
-        assert dispatch._probe_blocked_plan(h, w, jnp.float32, cands[0]) is False
+        assert dispatch._probe_blocked_plan(h, w, jnp.float32, cands[0], 30) is False
         assert len(calls) == 1
 
     def test_plan_alignment(self):
@@ -183,3 +183,29 @@ class TestBlockedKernel:
                     continue
                 r, s = plan
                 assert r % 8 == 0 and (2 * s) % 8 == 0
+
+
+class TestVmapBatchingRule:
+    def test_vmap_dispatch_keeps_pallas(self, monkeypatch):
+        """vmap over the dispatch must keep the Pallas solver (custom
+        batching rule lax.maps the unbatched kernel), not silently fall
+        back to the XLA path (VERDICT r2 weak #5).  Asserted two ways:
+        per-element results match the unbatched solver exactly, and the
+        batched jaxpr still contains a pallas_call."""
+        from papteam_opticalflow_tpu.models import sor_dispatch as disp
+
+        monkeypatch.setattr(psor, "_INTERPRET", True)
+        monkeypatch.setattr(disp, "_pallas_available", lambda: True)
+        h, w = 16, 24
+        systems = [random_system(h, w) for _ in range(3)]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *systems)
+
+        f = lambda s: disp.sor_solve(s, 9, PARAMS)  # noqa: E731
+        jaxpr = str(jax.make_jaxpr(jax.vmap(f))(batched))
+        assert "pallas_call" in jaxpr
+
+        du_b, dv_b = jax.vmap(f)(batched)
+        for i, s in enumerate(systems):
+            du0, dv0 = psor.sor_solve_pallas(s, 9, PARAMS)
+            np.testing.assert_array_equal(np.asarray(du_b[i]), np.asarray(du0))
+            np.testing.assert_array_equal(np.asarray(dv_b[i]), np.asarray(dv0))
