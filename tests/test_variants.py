@@ -171,6 +171,25 @@ class TestProfiling:
         u2, v2, _ = coarse2fine_flow_chw(im1, im2, 2, FlowParams(use_pallas_sor=False))
         np.testing.assert_allclose(np.asarray(u), np.asarray(u2), atol=1e-10)
 
+    def test_profiled_ops_accumulators(self):
+        """Op-tier accumulators (reference total_* globals) must cover the
+        hot ops and reproduce the production flow exactly (the staged
+        per-op programs are the same arithmetic, differently fused)."""
+        from papteam_opticalflow_tpu.utils.profiling import profiled_ops
+
+        im1, im2 = make_pair()
+        params = FlowParams(use_pallas_sor=False)
+        u, v, w, t = profiled_ops(im1, im2, 2, params)
+        for key in ("total_pyramid", "total_feature", "total_resize",
+                    "total_warp", "total_dx", "total_assembly",
+                    "total_sor", "total_bicubic", "total_sum"):
+            assert key in t and t[key] >= 0, key
+        assert t["total_sum"] >= t["total_sor"]
+        u2, v2, w2 = coarse2fine_flow_chw(im1, im2, 2, params)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u2), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w2), atol=1e-10)
+
 
 class TestDistributedHelpers:
     def test_shard_work_items(self):
