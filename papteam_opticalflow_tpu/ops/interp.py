@@ -385,6 +385,164 @@ def resize_by_ratio(img: jnp.ndarray, ratio: float) -> jnp.ndarray:
     return out[0] if img.ndim == 2 else out
 
 
+# --- Tiled (footprint-bounded) warp gather -------------------------------
+#
+# TPU gather cost per index SCALES WITH THE SOURCE FOOTPRINT, not the
+# access pattern (measured r3, tools/gather_floor.py: same smooth indices
+# cost ~2 ns/idx against a 2.6 MB table but ~29 ns/idx against 83 MB;
+# random beats smooth at full size).  Warp displacements are locally
+# bounded, so gathering each output tile from a small materialized source
+# window (contiguous dynamic_slice, HBM-bandwidth cheap) runs the same
+# gather ~3x faster (tools/exp_banded_warp.py: 7.1 ms vs 21.7 ms for the
+# 1080x1920 5ch bf16 warp, bit-exact).  Exactness requires every
+# in-bounds sample to fall inside its tile's window; the adaptive wrapper
+# measures the true displacement bound ON DEVICE and lax.switches between
+# a tight-margin tiling, a wide-margin tiling, and the full-table gather,
+# so arbitrary flows stay exact.
+
+_TILE_ROWS = 54
+_TILE_COLS = 256
+_TILE_MARGINS = (12, 48)  # tight / wide window margins (pixels)
+_TILED_WARP = "auto"  # "auto" (TPU + big tables) | "on" (tests) | "off"
+
+
+def _use_tiled_warp(pack_shape, itemsize: int) -> bool:
+    if _TILED_WARP == "off":
+        return False
+    c4, h, w = pack_shape
+    big = (
+        h >= 4 * _TILE_ROWS
+        and w >= 2 * _TILE_COLS
+        and c4 * h * w * itemsize >= 8 * 2**20
+        and h >= _TILE_ROWS + 2 * _TILE_MARGINS[1]
+        and w >= _TILE_COLS + 2 * _TILE_MARGINS[1]
+    )
+    if _TILED_WARP == "on":
+        return big
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return big and backend == "tpu"
+
+
+def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
+                    margin: int) -> jnp.ndarray:
+    """``gather2d`` restricted to per-tile source windows.
+
+    ``img``: ``(C, H, W)``; ``yi``/``xi``: ``(H, W)`` int32 indices already
+    clamped into range.  EXACT iff every index that matters satisfies
+    ``|yi - row| <= margin`` and ``|xi - col| <= margin`` (window starts
+    clamp at the image edges, which only widens one-sided coverage).
+    Indices outside the window are clipped to it — callers must not
+    consume those outputs (the warp's OOB pixels are overwritten).
+    """
+    c4, h, w = img.shape
+    tb, tc = _TILE_ROWS, _TILE_COLS
+    nb, nc = -(-h // tb), -(-w // tc)
+    h_pad, w_pad = nb * tb, nc * tc
+    winr, winc = tb + 2 * margin, tc + 2 * margin
+
+    pad = ((0, h_pad - h), (0, w_pad - w))
+    yip = jnp.pad(yi, pad)
+    xip = jnp.pad(xi, pad)
+
+    def one_tile(t):
+        bi, ci = t // nc, t % nc
+        r0, c0 = bi * tb, ci * tc
+        ws = jnp.clip(r0 - margin, 0, h - winr)
+        cs = jnp.clip(c0 - margin, 0, w - winc)
+        window = jax.lax.dynamic_slice(img, (0, ws, cs), (c4, winr, winc))
+        yb = jax.lax.dynamic_slice(yip, (r0, c0), (tb, tc))
+        xb = jax.lax.dynamic_slice(xip, (r0, c0), (tb, tc))
+        ly = jnp.clip(yb - ws, 0, winr - 1)
+        lx = jnp.clip(xb - cs, 0, winc - 1)
+        flat = window.reshape(c4, winr * winc)
+        idx = (ly * winc + lx).reshape(-1)
+        return jnp.take(flat, idx, axis=-1).reshape(c4, tb, tc)
+
+    tiles = jax.lax.map(one_tile, jnp.arange(nb * nc))  # (nt, C, tb, tc)
+    tiles = tiles.reshape(nb, nc, c4, tb, tc)
+    return jnp.moveaxis(tiles, (0, 3, 1, 4), (1, 2, 3, 4)).reshape(
+        c4, h_pad, w_pad)[:, :h, :w]
+
+
+@jax.custom_batching.custom_vmap
+def _gather2d_warp_adaptive(img, yi, xi, valid):
+    """Displacement-adaptive tile-windowed gather for grid-aligned warps.
+
+    ``valid``: bool (H, W) — pixels whose gathered value is consumed
+    (in-bounds warp targets).  The largest valid displacement picks the
+    cheapest EXACT scheme; flows larger than the wide margin fall back to
+    the full-table gather, so this is an optimization, never a semantics
+    change."""
+    h, w = yi.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    zero = jnp.zeros((), jnp.int32)
+    dy = jnp.max(jnp.where(valid, jnp.abs(yi - ii), zero))
+    dx = jnp.max(jnp.where(valid, jnp.abs(xi - jj), zero))
+    disp = jnp.maximum(dy, dx)
+    m_small, m_wide = _TILE_MARGINS
+    bucket = (disp > m_small).astype(jnp.int32) + (
+        disp > m_wide
+    ).astype(jnp.int32)
+    return jax.lax.switch(
+        bucket,
+        [
+            lambda a, y, x: _gather2d_tiled(a, y, x, m_small),
+            lambda a, y, x: _gather2d_tiled(a, y, x, m_wide),
+            lambda a, y, x: gather2d(a, y, x),
+        ],
+        img, yi, xi,
+    )
+
+
+@_gather2d_warp_adaptive.def_vmap
+def _gather2d_warp_adaptive_vmap(axis_size, in_batched, img, yi, xi, valid):
+    # Unroll per batch element: vmap of lax.switch would execute ALL
+    # branches per element (select semantics), and vmap of jnp.take
+    # reintroduces the faulting multi-dim gather (see _gather2d_vmap).
+    def at(z, batched, i):
+        return z[i] if batched else z
+
+    ib, yb, xb, vb = in_batched
+    outs = [
+        _gather2d_warp_adaptive(
+            at(img, ib, i), at(yi, yb, i), at(xi, xb, i), at(valid, vb, i)
+        )
+        for i in range(axis_size)
+    ]
+    return jnp.stack(outs), True
+
+
+def bilinear_gather_packed_warp(
+    pack: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """``bilinear_gather_packed`` for grid-aligned warps on big tables:
+    the patch gather goes through the displacement-adaptive tiled scheme.
+    Bit-identical to the plain path for every ``valid`` pixel."""
+    h, w = pack.shape[-2], pack.shape[-1]
+    c = pack.shape[-3] // 4
+    dtype = pack.dtype
+    xx = jnp.trunc(x)
+    yy = jnp.trunc(y)
+    fx = jnp.clip((x - xx).astype(dtype), 0, 1)
+    fy = jnp.clip((y - yy).astype(dtype), 0, 1)
+    x0 = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
+    patch = _gather2d_warp_adaptive(pack, y0, x0, valid)
+    v00 = patch[0 * c: 1 * c]
+    v10 = patch[1 * c: 2 * c]
+    v01 = patch[2 * c: 3 * c]
+    v11 = patch[3 * c: 4 * c]
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+    return v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
+
+
 def should_pack_warp(img: jnp.ndarray) -> bool:
     """Gather-scheme policy for the backward warp, measured on v5e at
     1080x1920: TPU gather throughput collapses once the per-index slice
@@ -424,7 +582,10 @@ def warp_bilinear(
     if im2_pack is None and should_pack_warp(im2):
         im2_pack = pack_patch2x2(im2)
     if im2_pack is not None:
-        sampled = bilinear_gather_packed(im2_pack, x, y)
+        if _use_tiled_warp(im2_pack.shape, jnp.dtype(im2_pack.dtype).itemsize):
+            sampled = bilinear_gather_packed_warp(im2_pack, x, y, ~oob)
+        else:
+            sampled = bilinear_gather_packed(im2_pack, x, y)
         if im2.ndim == 2:
             sampled = sampled[0]
     else:
