@@ -84,11 +84,22 @@ def warp_bicubic_ref(
     # chunks let XLA fold each gather back through the pack's concat onto
     # its shifted source (4x12-ch chunks: 28 ms vs 146 ms for the single
     # 48-ch gather).  Values are identical — only the gather partitioning
-    # changes.
-    patch = jnp.concatenate(
-        [gather2d(pack16[k * 4 * c:(k + 1) * 4 * c], y0, x0) for k in range(4)],
-        axis=0,
-    )  # (16C, *S)
+    # changes.  On big tables the corner-chunked gather additionally goes
+    # through the displacement-adaptive tile-windowed scheme (r3: gather
+    # cost scales with source footprint — see interp._gather2d_tiled),
+    # same chunking, bit-identical values.
+    from .interp import _make_adaptive_gather, _use_tiled_warp
+
+    if vx.ndim == 2 and _use_tiled_warp(
+        pack16.shape, jnp.dtype(pack16.dtype).itemsize
+    ):
+        patch = _make_adaptive_gather(4)(pack16, y0, x0, ~oob)
+    else:
+        patch = jnp.concatenate(
+            [gather2d(pack16[k * 4 * c:(k + 1) * 4 * c], y0, x0)
+             for k in range(4)],
+            axis=0,
+        )  # (16C, *S)
 
     def part(corner, field):
         start = corner * 4 * c + field * c

@@ -17,6 +17,7 @@ trailing two axes; leading axes broadcast (channels, batch).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -427,7 +428,7 @@ def _use_tiled_warp(pack_shape, itemsize: int) -> bool:
 
 
 def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
-                    margin: int) -> jnp.ndarray:
+                    margin: int, chunks: int = 1) -> jnp.ndarray:
     """``gather2d`` restricted to per-tile source windows.
 
     ``img``: ``(C, H, W)``; ``yi``/``xi``: ``(H, W)`` int32 indices already
@@ -436,12 +437,16 @@ def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
     clamp at the image edges, which only widens one-sided coverage).
     Indices outside the window are clipped to it — callers must not
     consume those outputs (the warp's OOB pixels are overwritten).
+    ``chunks`` splits the take into channel blocks to keep per-index
+    slices inside the fast width window (the bicubic's 16C stencil
+    table; values identical, only the gather partitioning changes).
     """
     c4, h, w = img.shape
     tb, tc = _TILE_ROWS, _TILE_COLS
     nb, nc = -(-h // tb), -(-w // tc)
     h_pad, w_pad = nb * tb, nc * tc
     winr, winc = tb + 2 * margin, tc + 2 * margin
+    cb = c4 // chunks
 
     pad = ((0, h_pad - h), (0, w_pad - w))
     yip = jnp.pad(yi, pad)
@@ -459,7 +464,14 @@ def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
         lx = jnp.clip(xb - cs, 0, winc - 1)
         flat = window.reshape(c4, winr * winc)
         idx = (ly * winc + lx).reshape(-1)
-        return jnp.take(flat, idx, axis=-1).reshape(c4, tb, tc)
+        got = jnp.concatenate(
+            [
+                jnp.take(flat[k * cb:(k + 1) * cb], idx, axis=-1)
+                for k in range(chunks)
+            ],
+            axis=0,
+        ) if chunks > 1 else jnp.take(flat, idx, axis=-1)
+        return got.reshape(c4, tb, tc)
 
     tiles = jax.lax.map(one_tile, jnp.arange(nb * nc))  # (nt, C, tb, tc)
     tiles = tiles.reshape(nb, nc, c4, tb, tc)
@@ -467,53 +479,77 @@ def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
         c4, h_pad, w_pad)[:, :h, :w]
 
 
-@jax.custom_batching.custom_vmap
-def _gather2d_warp_adaptive(img, yi, xi, valid):
-    """Displacement-adaptive tile-windowed gather for grid-aligned warps.
+def _gather2d_chunked(img, yi, xi, chunks: int):
+    """Full-table gather split into channel chunks (the r2 bicubic
+    partitioning: XLA folds each chunk through pack_patch2x2's concat
+    onto its shifted source)."""
+    if chunks == 1:
+        return gather2d(img, yi, xi)
+    c4 = img.shape[0]
+    cb = c4 // chunks
+    return jnp.concatenate(
+        [gather2d(img[k * cb:(k + 1) * cb], yi, xi) for k in range(chunks)],
+        axis=0,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_adaptive_gather(chunks: int):
+    """Displacement-adaptive tile-windowed gather for grid-aligned warps
+    (one cached custom_vmap'd function per chunking).
 
     ``valid``: bool (H, W) — pixels whose gathered value is consumed
     (in-bounds warp targets).  The largest valid displacement picks the
     cheapest EXACT scheme; flows larger than the wide margin fall back to
     the full-table gather, so this is an optimization, never a semantics
     change."""
-    h, w = yi.shape
-    ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    zero = jnp.zeros((), jnp.int32)
-    dy = jnp.max(jnp.where(valid, jnp.abs(yi - ii), zero))
-    dx = jnp.max(jnp.where(valid, jnp.abs(xi - jj), zero))
-    disp = jnp.maximum(dy, dx)
-    m_small, m_wide = _TILE_MARGINS
-    bucket = (disp > m_small).astype(jnp.int32) + (
-        disp > m_wide
-    ).astype(jnp.int32)
-    return jax.lax.switch(
-        bucket,
-        [
-            lambda a, y, x: _gather2d_tiled(a, y, x, m_small),
-            lambda a, y, x: _gather2d_tiled(a, y, x, m_wide),
-            lambda a, y, x: gather2d(a, y, x),
-        ],
-        img, yi, xi,
-    )
 
-
-@_gather2d_warp_adaptive.def_vmap
-def _gather2d_warp_adaptive_vmap(axis_size, in_batched, img, yi, xi, valid):
-    # Unroll per batch element: vmap of lax.switch would execute ALL
-    # branches per element (select semantics), and vmap of jnp.take
-    # reintroduces the faulting multi-dim gather (see _gather2d_vmap).
-    def at(z, batched, i):
-        return z[i] if batched else z
-
-    ib, yb, xb, vb = in_batched
-    outs = [
-        _gather2d_warp_adaptive(
-            at(img, ib, i), at(yi, yb, i), at(xi, xb, i), at(valid, vb, i)
+    @jax.custom_batching.custom_vmap
+    def adaptive(img, yi, xi, valid):
+        h, w = yi.shape
+        ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        zero = jnp.zeros((), jnp.int32)
+        dy = jnp.max(jnp.where(valid, jnp.abs(yi - ii), zero))
+        dx = jnp.max(jnp.where(valid, jnp.abs(xi - jj), zero))
+        disp = jnp.maximum(dy, dx)
+        m_small, m_wide = _TILE_MARGINS
+        bucket = (disp > m_small).astype(jnp.int32) + (
+            disp > m_wide
+        ).astype(jnp.int32)
+        return jax.lax.switch(
+            bucket,
+            [
+                lambda a, y, x: _gather2d_tiled(a, y, x, m_small, chunks),
+                lambda a, y, x: _gather2d_tiled(a, y, x, m_wide, chunks),
+                lambda a, y, x: _gather2d_chunked(a, y, x, chunks),
+            ],
+            img, yi, xi,
         )
-        for i in range(axis_size)
-    ]
-    return jnp.stack(outs), True
+
+    @adaptive.def_vmap
+    def _rule(axis_size, in_batched, img, yi, xi, valid):
+        # Unroll per batch element: vmap of lax.switch would execute ALL
+        # branches per element (select semantics), and vmap of jnp.take
+        # reintroduces the faulting multi-dim gather (see _gather2d_vmap).
+        def at(z, batched, i):
+            return z[i] if batched else z
+
+        ib, yb, xb, vb = in_batched
+        outs = [
+            adaptive(
+                at(img, ib, i), at(yi, yb, i), at(xi, xb, i),
+                at(valid, vb, i),
+            )
+            for i in range(axis_size)
+        ]
+        return jnp.stack(outs), True
+
+    return adaptive
+
+
+def _gather2d_warp_adaptive(img, yi, xi, valid):
+    return _make_adaptive_gather(1)(img, yi, xi, valid)
 
 
 def bilinear_gather_packed_warp(

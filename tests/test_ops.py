@@ -363,3 +363,15 @@ class TestTiledWarpGather:
 
     def test_policy_rejects_small_tables(self):
         assert not interp._use_tiled_warp((4, 64, 96), 8)
+
+    def test_bicubic_adaptive_gather_exact(self, monkeypatch):
+        # The final bicubic warp's corner-chunked stencil gather also
+        # routes through the adaptive tiled scheme on big tables.
+        im1, im2 = self._pair()
+        for amp in (10.0, 40.0, 300.0):  # all three buckets
+            vx, vy = self._flow(amp, seed=int(amp))
+            monkeypatch.setattr(interp, "_TILED_WARP", "off")
+            want = np.asarray(bicubic.warp_bicubic_ref(im1, im2, vx, vy))
+            monkeypatch.setattr(interp, "_TILED_WARP", "on")
+            got = np.asarray(bicubic.warp_bicubic_ref(im1, im2, vx, vy))
+            np.testing.assert_array_equal(got, want)

@@ -1,26 +1,27 @@
-"""Warp-gather hardware-floor experiment (VERDICT r2 task 1b).
+"""Warp-gather experiment (VERDICT r2 task 1): floor probe that instead
+FOUND the win.
 
-The backward warp (``ImageProcessing.h:495-520`` -> ``ops/interp.py``) is
-the dominant non-SOR cost of a pair: at the finest 1080x1920 level it
-gathers one 40-byte packed-patch slice (4C = 20 bf16 channels) per output
-pixel, ~2.07 M indices per warp, ~24 warp calls per 1920px P15 pair.  This
-tool measures, on the SAME chip the bench runs on:
+The backward warp (``ImageProcessing.h:495-520`` -> ``ops/interp.py``) was
+the dominant non-SOR cost of a pair (r2: ~22 ms/call at 1080x1920, ~24
+calls per 1920px P15 pair, asserted to be a ~3.8 GB/s hardware gather
+floor).  This tool measures, on the SAME chip the bench runs on:
 
-1. ``pure``   — a serialized chain of raw flat gathers at the production
-   index count / slice width / table size, with warp-realistic smooth
-   indices, plus uniform-random and identity index variants.  This is what
-   the hardware does on *any* gather of this shape, with zero warp math.
-2. ``engine`` — the engine's actual ``warp_bilinear`` (pack scheme, OOB
-   select, bilinear FMA) under the same serialized chain.
-3. shape sensitivity — ns/index across slice widths and table sizes,
-   documenting the measured plateau that the gather-scheme policy
-   (``ops/interp.should_pack_warp``) is built on.
+1. ``pure``   — a serialized chain of raw monolithic flat gathers at the
+   production index count / slice width / table size, with warp-realistic
+   smooth indices, plus uniform-random and identity index variants.
+2. ``engine`` — the engine's actual ``warp_bilinear`` under the same
+   serialized chain, in both schemes: the r2 full-table gather
+   (``engine_fulltable_ms``) and the r3 displacement-adaptive tiled
+   gather (``engine_warp_ms``, production default on TPU).
+3. shape sensitivity — ns/index across slice widths and TABLE SIZES.
 
-If ``engine_ms`` is within ~10% of ``pure_ms`` for the matched variant,
-the warp runs at the hardware gather floor and further warp-kernel work
-cannot pay (the r2 dead-end analyses: masked-matmul MXU warp ~5x worse at
-C=5, lane-shift sweep ~no win, separable gathers wrong, nothing to
-pipeline against — CLAUDE.md).  Emitted into bench JSON as
+The table-size sweep is the decisive evidence: per-index cost scales with
+the source-table FOOTPRINT (~2 ns/idx at 2.6 MB vs ~29 ns/idx at 83 MB
+for identical smooth indices; random beats smooth at full size), i.e. the
+r2 "floor" was a property of gathering from a big table, not of the index
+stream.  That mechanism is exactly what the r3 tiled warp exploits
+(``ops/interp._gather2d_tiled``: materialize a small per-tile source
+window, gather locally — bit-exact, ~3x).  Emitted into bench JSON as
 ``gather_floor``; run standalone with ``python tools/gather_floor.py``.
 
 Methodology notes:
@@ -136,9 +137,11 @@ def measure_pure(h: int, w: int, c4: int, dtype, kind: str,
     return _per_iter(_chained_gather, table, idx, reps=reps)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _chained_warp(im1, im2, pack, vx, vy, iters):
-    """The engine's production warp under the same serialized chain."""
+@functools.partial(jax.jit, static_argnames=("iters", "tiled"))
+def _chained_warp(im1, im2, pack, vx, vy, iters, tiled="auto"):
+    """The engine's production warp under the same serialized chain.
+    ``tiled`` is only a jit cache key: the interp._TILED_WARP policy is
+    read at TRACE time, so each policy needs its own compiled program."""
     from papteam_opticalflow_tpu.ops.interp import warp_bilinear
 
     def body(_, carry):
@@ -156,9 +159,13 @@ def _chained_warp(im1, im2, pack, vx, vy, iters):
     return acc
 
 
-def measure_engine(h: int, w: int, c: int, dtype, reps: int = 3) -> float:
+def measure_engine(h: int, w: int, c: int, dtype, reps: int = 3,
+                   tiled: str = "auto") -> float:
     """Seconds per production ``warp_bilinear`` call at the given shape
-    (pack prebuilt once, as in the level solver)."""
+    (pack prebuilt once, as in the level solver).  ``tiled``: the
+    ``interp._TILED_WARP`` policy to measure under ("off" = the r2
+    full-table scheme)."""
+    from papteam_opticalflow_tpu.ops import interp
     from papteam_opticalflow_tpu.ops.interp import (
         pack_patch2x2,
         should_pack_warp,
@@ -170,7 +177,15 @@ def measure_engine(h: int, w: int, c: int, dtype, reps: int = 3) -> float:
     pack = pack_patch2x2(im2) if should_pack_warp(im2) else None
     vx, vy = _smooth_flow(h, w)
     vx, vy = jnp.asarray(vx), jnp.asarray(vy)
-    return _per_iter(_chained_warp, im1, im2, pack, vx, vy, reps=reps)
+    prev = interp._TILED_WARP
+    try:
+        interp._TILED_WARP = tiled
+        return _per_iter(
+            functools.partial(_chained_warp, tiled=tiled),
+            im1, im2, pack, vx, vy, reps=reps,
+        )
+    finally:
+        interp._TILED_WARP = prev
 
 
 def run(h: int = 1080, w: int = 1920, c: int = 5,
@@ -193,19 +208,25 @@ def run(h: int = 1080, w: int = 1920, c: int = 5,
     for kind in ("smooth", "random", "identity"):
         s = measure_pure(h, w, c4, dtype, kind)
         out["pure_ms"][kind] = round(s * 1e3, 2)
-    eng = measure_engine(h, w, c, dtype)
+    eng = measure_engine(h, w, c, dtype)                    # r3 tiled (prod)
+    eng_full = measure_engine(h, w, c, dtype, tiled="off")  # r2 scheme
     out["engine_warp_ms"] = round(eng * 1e3, 2)
+    out["engine_fulltable_ms"] = round(eng_full * 1e3, 2)
+    out["tiled_speedup"] = round(eng_full / eng, 2)
     pure = out["pure_ms"]["smooth"] * 1e-3
-    out["engine_vs_pure"] = round(eng / pure, 3)
     out["pure_effective_gbps"] = round(
         n_idx * slice_bytes / pure / 1e9, 2
     )
     out["pure_ns_per_index"] = round(pure / n_idx * 1e9, 2)
+    out["engine_ns_per_index"] = round(eng / n_idx * 1e9, 2)
     out["note"] = (
-        "pure = raw flat gather, production index count/slice/table, "
-        "serialized chain, dispatch floor differenced out; engine = "
-        "production warp_bilinear (pack + bilinear FMA + OOB select). "
-        "engine_vs_pure ~ 1 => the warp runs at the hardware gather floor"
+        "pure = raw monolithic flat gather, production index count/slice/"
+        "table, serialized chain, dispatch floor differenced out; "
+        "engine_warp = production warp_bilinear (r3 adaptive tiled "
+        "windows); engine_fulltable = the r2 full-table scheme.  The "
+        "table-size sweep shows per-index cost scales with source "
+        "footprint — the mechanism behind the tiled win; the r2 \"3.8 "
+        "GB/s hardware floor\" claim was a big-table artifact."
     )
     if full:
         # Slice-width sweep at fixed table/indices (the should_pack_warp
