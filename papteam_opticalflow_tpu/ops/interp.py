@@ -403,7 +403,13 @@ def resize_by_ratio(img: jnp.ndarray, ratio: float) -> jnp.ndarray:
 
 _TILE_ROWS = 54
 _TILE_COLS = 256
-_TILE_MARGINS = (12, 48)  # tight / wide window margins (pixels)
+# Tight/wide window margins (px).  The tight tier must catch real frames:
+# the recorded 1920px P15 oracle flow peaks at 19.1 px in-bounds
+# displacement (tests/fixtures/oracle_1920_P15.npz), so tight = 24; wide
+# covers violent flows up to 96 px before the full-table fallback.
+# Window cost is flat in this range (0.9-4.4 MB windows all gather at
+# ~3-4 ns/idx, tools/exp_banded_warp.py).
+_TILE_MARGINS = (24, 96)
 _TILED_WARP = "auto"  # "auto" (TPU + big tables) | "on" (tests) | "off"
 
 
