@@ -10,15 +10,19 @@ reference repo publishes no numbers of its own (BASELINE.md).
 Config via env:
   BENCH_CONFIG=1920:15:4 (<width_px>:<pyramid_levels>[:<batch>]), default
   1920:15:4 — the reference's heaviest headline config (TestSuite.py sweep
-  max).  Measured on v5e (r2): 621.8 ms/pair = 108x the serial C++
-  baseline (960:8:8 alternative: 113.8 ms/pair = 69x).
+  max).  Measured on v5e (r3, tiled warp gather): 434 ms/pair = 84x the
+  re-measured serial C++ baseline (36.6 s/pair; the r2 "108x" rested on an
+  inflated 67.1 s r1 baseline measurement — see BASELINE_MEASURED.json).
   batch>1 maps consecutive frame pairs into one dispatch (single chip)
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
-  fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with ~10x
-  margin: measured on-chip 4.2e-3 px vs the C++ serial oracle at 480px P4
-  (r2, README).  float32 on-chip is ~1.0e-3 px; the ~2e-4 px figure applies
-  only to the f64 CPU parity mode.)
+  fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with >15x
+  margin AT THE HEADLINE CONFIG: measured on-chip at 1920px P15 vs the
+  recorded serial-oracle flow: 6.5e-3 px bf16, 1.0e-3 px float32
+  (tools/onchip_epe.py).  The ~2e-4 px figure applies to the f64 CPU
+  parity mode.)
   BENCH_ITERS=5
+  BENCH_EXTRAS=0 skips the roofline/phases/ops/vpu/gather extras;
+  BENCH_GATHER=quick skips the gather shape sweeps
 """
 
 import json

@@ -182,6 +182,14 @@ def measure_plumbing_overhead(n_pairs: int, h: int, w: int, levels: int,
         "wall_single_device_s": round(t_single, 3),
         "wall_sharded_s": round(t_shard, 3),
         "sharding_overhead": round(t_shard / t_single - 1.0, 3),
+        "note": (
+            "Same total pairs, same 2 physical cores: sharded over all "
+            "virtual devices vs single-device lax.map.  ratio-1 ~ 0 => "
+            "SPMD partitioning adds nothing; NEGATIVE values happen "
+            "because 8 virtual-device threads exploit the 2 cores better "
+            "than one device's intra-op threading — either way, no "
+            "partitioning cost."
+        ),
     }
 
 
