@@ -197,14 +197,15 @@ def smooth_flow_sor(
     """
     from .sor_dispatch import sor_solve  # late import to avoid cycle
 
-    from ..ops.interp import pack_patch2x2, should_pack_warp
+    from ..ops.interp import pack_patch2x2, should_prebuild_pack
 
     # im2 is warped once per outer iteration with the updated flow; its 2x2
     # patch pack is flow-independent, so build it once for the whole level
     # (one gather per pixel per warp instead of four) — but only when the
     # packed slice width keeps the TPU gather on its fast path
-    # (interp.should_pack_warp); wide f32 slices gather faster unpacked.
-    im2_pack = pack_patch2x2(im2) if should_pack_warp(im2) else None
+    # (interp.should_pack_warp) OR the tile-windowed scheme applies
+    # (wide slices gather in narrow channel chunks there).
+    im2_pack = pack_patch2x2(im2) if should_prebuild_pack(im2) else None
 
     gmixture = params.noise_model == NoiseModel.GAUSSIAN_MIXTURE
     track_noise = lap_para is not None or gmixture

@@ -559,7 +559,8 @@ def _gather2d_warp_adaptive(img, yi, xi, valid):
 
 
 def bilinear_gather_packed_warp(
-    pack: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, valid: jnp.ndarray
+    pack: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, valid: jnp.ndarray,
+    chunks: int = 1,
 ) -> jnp.ndarray:
     """``bilinear_gather_packed`` for grid-aligned warps on big tables:
     the patch gather goes through the displacement-adaptive tiled scheme.
@@ -573,7 +574,7 @@ def bilinear_gather_packed_warp(
     fy = jnp.clip((y - yy).astype(dtype), 0, 1)
     x0 = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
-    patch = _gather2d_warp_adaptive(pack, y0, x0, valid)
+    patch = _make_adaptive_gather(chunks)(pack, y0, x0, valid)
     v00 = patch[0 * c: 1 * c]
     v10 = patch[1 * c: 2 * c]
     v01 = patch[2 * c: 3 * c]
@@ -594,6 +595,29 @@ def should_pack_warp(img: jnp.ndarray) -> bool:
     4C-channel patch slice stays within that window."""
     c = 1 if img.ndim == 2 else img.shape[-3]
     return 4 * c * jnp.dtype(img.dtype).itemsize <= 48
+
+
+def _tiled_chunks(c4: int, itemsize: int) -> int:
+    """Channel-chunking that keeps each tiled-window take's per-index
+    slice inside the fast ~48 B width (wide-slice dtypes gather the pack
+    in 2 or 4 chunks; values identical)."""
+    for chunks in (1, 2, 4):
+        if c4 % chunks == 0 and c4 * itemsize // chunks <= 48:
+            return chunks
+    return 4
+
+
+def should_prebuild_pack(img: jnp.ndarray) -> bool:
+    """Whether a caller that warps the same frame repeatedly should build
+    ``pack_patch2x2`` once: either the packed slice is narrow enough for
+    the full-table gather (``should_pack_warp``), or the table is big
+    enough that the tile-windowed scheme applies (where wide slices are
+    gathered in narrow chunks)."""
+    if should_pack_warp(img):
+        return True
+    c = 1 if img.ndim == 2 else img.shape[-3]
+    h, w = img.shape[-2], img.shape[-1]
+    return _use_tiled_warp((4 * c, h, w), jnp.dtype(img.dtype).itemsize)
 
 
 def warp_bilinear(
@@ -621,14 +645,21 @@ def warp_bilinear(
     x = j[None, :] + vx.astype(ftype)
     y = i[:, None] + vy.astype(ftype)
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
-    if im2_pack is None and should_pack_warp(im2):
+    if im2_pack is None and should_prebuild_pack(im2):
         im2_pack = pack_patch2x2(im2)
     if im2_pack is not None:
-        if _use_tiled_warp(im2_pack.shape, jnp.dtype(im2_pack.dtype).itemsize):
-            sampled = bilinear_gather_packed_warp(im2_pack, x, y, ~oob)
-        else:
+        itemsize = jnp.dtype(im2_pack.dtype).itemsize
+        if _use_tiled_warp(im2_pack.shape, itemsize):
+            sampled = bilinear_gather_packed_warp(
+                im2_pack, x, y, ~oob,
+                chunks=_tiled_chunks(im2_pack.shape[-3], itemsize),
+            )
+        elif should_pack_warp(im2):
             sampled = bilinear_gather_packed(im2_pack, x, y)
-        if im2.ndim == 2:
+        else:
+            # Wide slices, small table: four corner gathers beat the pack.
+            sampled = bilinear_gather(im2, x, y)
+        if im2.ndim == 2 and sampled.ndim == 3:
             sampled = sampled[0]
     else:
         sampled = bilinear_gather(im2, x, y)

@@ -47,7 +47,7 @@ from ..ops.features import get_dxs, im2feature
 from ..ops.interp import (
     pack_patch2x2,
     resize_to,
-    should_pack_warp,
+    should_prebuild_pack,
     warp_bilinear,
 )
 from ..ops.noise import est_laplacian_noise
@@ -369,7 +369,7 @@ def profiled_ops(
         n_outer, n_inner, n_sor = params.level_schedule(k)
         # Per-level patch pack, built once (solver.py:205-207 policy).
         f2_pack = None
-        if should_pack_warp(f2):
+        if should_prebuild_pack(f2):
             (f2_pack,) = tm.run("total_warp", _op_pack, f2)
         for _outer in range(n_outer):
             imdx, imdy, imdt = tm.run("total_dx", _op_getdxs, f1, warp2)
@@ -501,7 +501,7 @@ def op_call_table(
     exact call counts of the level schedule (``n_outer = 7+k`` dx/
     assembly/sor/warp calls per level, + features/resize/initial warp,
     + the final bicubic)."""
-    from ..ops.interp import pack_patch2x2, should_pack_warp
+    from ..ops.interp import pack_patch2x2, should_prebuild_pack
     from ..utils.params import Interpolation, NoiseModel
 
     assert params.noise_model == NoiseModel.LAPLACIAN
@@ -608,7 +608,7 @@ def op_call_table(
             + seconds * calls
 
     for k, o in sorted(harvest.items()):
-        if should_pack_warp(o["f2"]):
+        if should_prebuild_pack(o["f2"]):
             o["pack"] = pack_patch2x2(o["f2"])
         n_outer, n_inner, n_sor = params.level_schedule(k)
         # Amplification scales inversely with level size: small-level ops

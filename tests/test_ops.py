@@ -375,3 +375,21 @@ class TestTiledWarpGather:
             monkeypatch.setattr(interp, "_TILED_WARP", "on")
             got = np.asarray(bicubic.warp_bicubic_ref(im1, im2, vx, vy))
             np.testing.assert_array_equal(got, want)
+
+    def test_wide_slice_chunked_tiled_warp(self, monkeypatch):
+        # 5-channel f64: packed slice is 160 B — too wide for the
+        # full-table pack path (should_pack_warp False), but the tiled
+        # scheme gathers it in 4 narrow chunks (interp._tiled_chunks).
+        rng = np.random.default_rng(5)
+        im1 = jnp.asarray(rng.random((5, self.H, self.W)))
+        im2 = jnp.asarray(rng.random((5, self.H, self.W)))
+        assert not interp.should_pack_warp(im2)
+        assert interp._tiled_chunks(20, 8) == 4
+        for amp in (10.0, 300.0):
+            vx, vy = self._flow(amp, seed=int(amp) + 7)
+            monkeypatch.setattr(interp, "_TILED_WARP", "off")
+            want = np.asarray(interp.warp_bilinear(im1, im2, vx, vy))
+            monkeypatch.setattr(interp, "_TILED_WARP", "on")
+            assert interp.should_prebuild_pack(im2)
+            got = np.asarray(interp.warp_bilinear(im1, im2, vx, vy))
+            np.testing.assert_array_equal(got, want)
