@@ -434,34 +434,38 @@ def _use_tiled_warp(pack_shape, itemsize: int) -> bool:
 
 
 def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
-                    margin: int, chunks: int = 1) -> jnp.ndarray:
+                    margin: int, chunks: int = 1, row0=0) -> jnp.ndarray:
     """``gather2d`` restricted to per-tile source windows.
 
-    ``img``: ``(C, H, W)``; ``yi``/``xi``: ``(H, W)`` int32 indices already
-    clamped into range.  EXACT iff every index that matters satisfies
-    ``|yi - row| <= margin`` and ``|xi - col| <= margin`` (window starts
-    clamp at the image edges, which only widens one-sided coverage).
-    Indices outside the window are clipped to it — callers must not
-    consume those outputs (the warp's OOB pixels are overwritten).
-    ``chunks`` splits the take into channel blocks to keep per-index
-    slices inside the fast width window (the bicubic's 16C stencil
-    table; values identical, only the gather partitioning changes).
+    ``img``: ``(C, H, W)``; ``yi``/``xi``: int32 indices already clamped
+    into range, laid out on an output grid whose row ``b`` corresponds to
+    source row ``row0 + b`` (``row0`` may be traced — the sharded solver
+    passes its band's global base row; 0 for whole-frame warps).  EXACT
+    iff every index that matters satisfies ``|yi - (row0+row)| <= margin``
+    and ``|xi - col| <= margin`` (window starts clamp at the image edges,
+    which only widens one-sided coverage).  Indices outside the window
+    are clipped to it — callers must not consume those outputs (the
+    warp's OOB pixels are overwritten).  ``chunks`` splits the take into
+    channel blocks to keep per-index slices inside the fast width window
+    (wide-slice dtypes, the bicubic's 16C stencil table; values
+    identical, only the gather partitioning changes).
     """
     c4, h, w = img.shape
+    out_h, out_w = yi.shape
     tb, tc = _TILE_ROWS, _TILE_COLS
-    nb, nc = -(-h // tb), -(-w // tc)
+    nb, nc = -(-out_h // tb), -(-out_w // tc)
     h_pad, w_pad = nb * tb, nc * tc
     winr, winc = tb + 2 * margin, tc + 2 * margin
     cb = c4 // chunks
 
-    pad = ((0, h_pad - h), (0, w_pad - w))
+    pad = ((0, h_pad - out_h), (0, w_pad - out_w))
     yip = jnp.pad(yi, pad)
     xip = jnp.pad(xi, pad)
 
     def one_tile(t):
         bi, ci = t // nc, t % nc
         r0, c0 = bi * tb, ci * tc
-        ws = jnp.clip(r0 - margin, 0, h - winr)
+        ws = jnp.clip(row0 + r0 - margin, 0, h - winr)
         cs = jnp.clip(c0 - margin, 0, w - winc)
         window = jax.lax.dynamic_slice(img, (0, ws, cs), (c4, winr, winc))
         yb = jax.lax.dynamic_slice(yip, (r0, c0), (tb, tc))
@@ -482,7 +486,7 @@ def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
     tiles = jax.lax.map(one_tile, jnp.arange(nb * nc))  # (nt, C, tb, tc)
     tiles = tiles.reshape(nb, nc, c4, tb, tc)
     return jnp.moveaxis(tiles, (0, 3, 1, 4), (1, 2, 3, 4)).reshape(
-        c4, h_pad, w_pad)[:, :h, :w]
+        c4, h_pad, w_pad)[:, :out_h, :out_w]
 
 
 def _gather2d_chunked(img, yi, xi, chunks: int):
@@ -556,6 +560,40 @@ def _make_adaptive_gather(chunks: int):
 
 def _gather2d_warp_adaptive(img, yi, xi, valid):
     return _make_adaptive_gather(1)(img, yi, xi, valid)
+
+
+def gather2d_band_adaptive(img, yi, xi, valid, row0, chunks: int = 1):
+    """Displacement-adaptive tiled gather for a ROW BAND of a full-frame
+    table (the sharded solver's per-shard warp): output row ``b`` samples
+    around global source row ``row0 + b`` (``row0`` traced — typically
+    ``shard_index * band_rows``).  Without tiling, each shard's gather
+    pays the FULL-frame footprint cost even though it only produces a
+    band — the same ~3x the single-chip warp recovered.  The displacement
+    bound uses the CONTIGUOUS expected rows, so a band's clamp-replicated
+    ghost tail (a few rows) just adds its overshoot to ``disp`` — still
+    exact, escalating the bucket only if it exceeds the margin.  No
+    custom_vmap (the sharded path maps pairs with ``lax.map``, never
+    ``vmap``)."""
+    hb, w = yi.shape
+    ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (hb, w), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 1)
+    zero = jnp.zeros((), jnp.int32)
+    dy = jnp.max(jnp.where(valid, jnp.abs(yi - ii), zero))
+    dx = jnp.max(jnp.where(valid, jnp.abs(xi - jj), zero))
+    disp = jnp.maximum(dy, dx)
+    m_small, m_wide = _TILE_MARGINS
+    bucket = (disp > m_small).astype(jnp.int32) + (
+        disp > m_wide
+    ).astype(jnp.int32)
+    return jax.lax.switch(
+        bucket,
+        [
+            lambda a, y, x: _gather2d_tiled(a, y, x, m_small, chunks, row0),
+            lambda a, y, x: _gather2d_tiled(a, y, x, m_wide, chunks, row0),
+            lambda a, y, x: _gather2d_chunked(a, y, x, chunks),
+        ],
+        img, yi, xi,
+    )
 
 
 def bilinear_gather_packed_warp(

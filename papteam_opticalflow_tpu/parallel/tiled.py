@@ -56,6 +56,7 @@ from ..ops.interp import (
     pack_patch2x2,
     resize_to,
     should_pack_warp,
+    should_prebuild_pack,
 )
 from ..ops.robust import assemble_system, phi_weight, psi_weight
 from ..utils.params import FlowParams, Interpolation
@@ -120,13 +121,23 @@ def _get_dxs_band(feat1_b4, warp_b4, r0, real_h: int):
     return imdx, imdy, imdt
 
 
-def _warp_band(feat1_b, feat2, feat2_pack, u_b, v_b, y_rows, h_img):
+def _warp_band(feat1_b, feat2, feat2_pack, u_b, v_b, y_rows, h_img, r0=None):
     """Bilinear backward warp for band rows; OOB copies feat1
     (ImageProcessing.h:495-520).  ``feat2_pack``: ``pack_patch2x2`` of the
-    full frame when ``should_pack_warp`` says so, else None (wide-f32
-    slices gather faster as four unpacked corner gathers — same policy as
-    the single-chip path); ``y_rows``: global (clamped) row index per
-    band row."""
+    full frame when ``should_prebuild_pack`` says so, else None (wide
+    slices over small tables gather faster as four unpacked corner
+    gathers — same policy as the single-chip path); ``y_rows``: global
+    (clamped) row index per band row; ``r0``: the band's global base row
+    (traced) — when given and the table is big, the patch gather runs
+    through the row-anchored tile-windowed scheme
+    (``interp.gather2d_band_adaptive``), so each shard gathers from small
+    source windows instead of paying the full-frame footprint cost."""
+    from ..ops.interp import (
+        _tiled_chunks,
+        _use_tiled_warp,
+        gather2d_band_adaptive,
+    )
+
     w = feat2.shape[-1]
     ftype = feat2.dtype
     j = jnp.arange(w, dtype=ftype)
@@ -134,7 +145,34 @@ def _warp_band(feat1_b, feat2, feat2_pack, u_b, v_b, y_rows, h_img):
     y = y_rows.astype(ftype)[:, None] + v_b
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h_img - 1)
     if feat2_pack is not None:
-        sampled = bilinear_gather_packed(feat2_pack, x, y)
+        itemsize = jnp.dtype(feat2_pack.dtype).itemsize
+        if r0 is not None and _use_tiled_warp(feat2_pack.shape, itemsize):
+            h = feat2_pack.shape[-2]
+            dtype = feat2_pack.dtype
+            c = feat2_pack.shape[-3] // 4
+            xx = jnp.trunc(x)
+            yy = jnp.trunc(y)
+            fx = jnp.clip((x - xx).astype(dtype), 0, 1)
+            fy = jnp.clip((y - yy).astype(dtype), 0, 1)
+            x0 = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
+            y0 = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
+            patch = gather2d_band_adaptive(
+                feat2_pack, y0, x0, ~oob, r0,
+                chunks=_tiled_chunks(feat2_pack.shape[-3], itemsize),
+            )
+            v00 = patch[0 * c:1 * c]
+            v10 = patch[1 * c:2 * c]
+            v01 = patch[2 * c:3 * c]
+            v11 = patch[3 * c:4 * c]
+            # Same weight-product association as bilinear_gather_packed —
+            # the sharded path is pinned bit-identical to single-chip.
+            w00 = (1 - fx) * (1 - fy)
+            w10 = fx * (1 - fy)
+            w01 = (1 - fx) * fy
+            w11 = fx * fy
+            sampled = v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
+        else:
+            sampled = bilinear_gather_packed(feat2_pack, x, y)
     else:
         sampled = bilinear_gather(feat2, x, y)
     return jnp.where(oob, feat1_b, sampled)
@@ -402,7 +440,7 @@ def _tiled_level_solver(
     feat1_p4 = _edge_fix_pad(feat1, real_h, pad_h, 4)
     # Flow-independent; built once per level — but only when packing keeps
     # the gather on its fast path (same policy as the single-chip warp).
-    feat2_pack = pack_patch2x2(feat2) if should_pack_warp(feat2) else None
+    feat2_pack = pack_patch2x2(feat2) if should_prebuild_pack(feat2) else None
     y4 = jnp.clip(r0 - 4 + jnp.arange(h + 8), 0, real_h - 1)
 
     def gather_full(x_loc):
@@ -420,7 +458,8 @@ def _tiled_level_solver(
         u_b4 = _band(u_p4, r0, h + 8, 4, 4)
         v_b4 = _band(v_p4, r0, h + 8, 4, 4)
         f1_b4 = _band(feat1_p4, r0, h + 8, 4, 4)
-        warp_b4 = _warp_band(f1_b4, feat2, feat2_pack, u_b4, v_b4, y4, real_h)
+        warp_b4 = _warp_band(f1_b4, feat2, feat2_pack, u_b4, v_b4, y4,
+                             real_h, r0=r0 - 4)
         imdx, imdy, imdt = _get_dxs_band(f1_b4, warp_b4, r0, real_h)
 
         u_b2 = u_b4[..., 2:-2, :]

@@ -393,3 +393,28 @@ class TestTiledWarpGather:
             assert interp.should_prebuild_pack(im2)
             got = np.asarray(interp.warp_bilinear(im1, im2, vx, vy))
             np.testing.assert_array_equal(got, want)
+
+    def test_sharded_band_warp_exact(self, monkeypatch):
+        # The sharded solver's per-band warp (parallel/tiled._warp_band)
+        # routes through the row-anchored tiled gather; must stay
+        # bit-identical to the full-table path, including the clamped
+        # ghost tail of a bottom band.
+        from papteam_opticalflow_tpu.parallel import tiled as T
+
+        rng = np.random.default_rng(9)
+        feat1 = jnp.asarray(rng.random((1, self.H, self.W)))
+        feat2 = jnp.asarray(rng.random((1, self.H, self.W)))
+        pack = interp.pack_patch2x2(feat2)
+        for r0, amp in ((64, 10.0), (self.H - 72 + 4, 30.0), (0, 300.0)):
+            hb = 72  # band rows incl. halo-4
+            y4 = jnp.clip(r0 - 4 + jnp.arange(hb), 0, self.H - 1)
+            u_b = jnp.asarray(amp * (2 * rng.random((hb, self.W)) - 1))
+            v_b = jnp.asarray(amp * (2 * rng.random((hb, self.W)) - 1))
+            f1_b = jnp.broadcast_to(feat1[:, :hb], (1, hb, self.W))
+            monkeypatch.setattr(interp, "_TILED_WARP", "off")
+            want = np.asarray(T._warp_band(
+                f1_b, feat2, pack, u_b, v_b, y4, self.H, r0=r0 - 4))
+            monkeypatch.setattr(interp, "_TILED_WARP", "on")
+            got = np.asarray(T._warp_band(
+                f1_b, feat2, pack, u_b, v_b, y4, self.H, r0=r0 - 4))
+            np.testing.assert_array_equal(got, want)
