@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.bicubic import threshold01, warp_bicubic_ref
-from ..ops.features import get_dxs
 from ..ops.filters import dx_forward, dy_forward
 from ..ops.interp import warp_bilinear
 from ..ops.laplacian import weighted_laplacian
@@ -216,9 +215,16 @@ def smooth_flow_sor(
         # count + 2 equals the feature channel count for 1/3-channel inputs.
         lap_para = init_gmixture(im1.shape[0], u.dtype)
 
+    # Frame 1's getDxs pre-smooth is loop-invariant (only warpIm2 changes
+    # per outer iteration): hoist it out of the fixed-point loop — values
+    # identical, one 5-tap smoothing per level instead of n_outer.
+    from ..ops.features import get_dxs_presmoothed, presmooth_frame
+
+    im1s = presmooth_frame(im1)
+
     def outer_body(carry):
         u, v, warp_im2, noise = carry
-        imdx, imdy, imdt = get_dxs(im1, warp_im2)
+        imdx, imdy, imdt = get_dxs_presmoothed(im1s, warp_im2)
         du = jnp.zeros_like(u)
         dv = jnp.zeros_like(v)
         for _ in range(n_inner):

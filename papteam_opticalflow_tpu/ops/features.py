@@ -68,12 +68,25 @@ def get_dxs(im1: jnp.ndarray, im2: jnp.ndarray):
 
     Returns ``(imdx, imdy, imdt)`` with the input ``(C, H, W)`` shape.
     """
+    return get_dxs_presmoothed(presmooth_frame(im1), im2)
+
+
+def presmooth_frame(im: jnp.ndarray) -> jnp.ndarray:
+    """The 5-tap pre-smooth of ``getDxs`` applied to one frame.  Frame 1's
+    features are loop-invariant across the outer fixed-point iterations
+    (only ``warpIm2`` changes), so callers hoist this out of the loop —
+    values identical, ~40% of getDxs saved per iteration."""
     # bf16 image path: the temporal difference is a small difference of
     # O(0.5) intensities — catastrophic in bf16 — so the derivatives are
     # always computed in >= float32 (inputs may still be stored bf16).
-    ftype = im1.dtype if im1.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    ftype = im.dtype if im.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    return correlate_hv(im.astype(ftype), PRESMOOTH_5TAP, PRESMOOTH_5TAP)
+
+
+def get_dxs_presmoothed(im1s: jnp.ndarray, im2: jnp.ndarray):
+    """``get_dxs`` with frame 1 already pre-smoothed (``presmooth_frame``)."""
+    ftype = im1s.dtype
     t = ftype.type if hasattr(ftype, "type") else ftype
-    im1s = correlate_hv(im1.astype(ftype), PRESMOOTH_5TAP, PRESMOOTH_5TAP)
     im2s = correlate_hv(im2.astype(ftype), PRESMOOTH_5TAP, PRESMOOTH_5TAP)
     blend = im1s * t(0.4) + im2s * t(0.6)
     imdx = dx_5tap(blend)

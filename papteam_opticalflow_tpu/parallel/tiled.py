@@ -104,15 +104,21 @@ def _reclamp_band(x, r0, halo: int, real_h: int):
     return jnp.take(x, src, axis=-2)
 
 
-def _get_dxs_band(feat1_b4, warp_b4, r0, real_h: int):
+def _presmooth_band(feat1_b4, r0, real_h: int):
+    """Frame 1's getDxs pre-smooth on a halo-4 band (loop-invariant across
+    the outer fixed-point iterations — hoisted by the caller, mirroring
+    the single-chip ``features.presmooth_frame`` hoist)."""
+    s1 = correlate1d_valid(correlate1d(feat1_b4, PRESMOOTH_5TAP, -1), PRESMOOTH_5TAP, -2)
+    return _reclamp_band(s1, r0, 2, real_h)
+
+
+def _get_dxs_band(s1, warp_b4, r0, real_h: int):
     """getDxs (OpticalFlow.cpp:80-122) on a halo-4 row band: clamp
     horizontal, valid vertical with per-stage clamp re-imposed between the
-    presmooth and the derivative.  Input ``(C, h+8, W)`` -> outputs
-    ``(C, h, W)``."""
-    t = feat1_b4.dtype.type
-    s1 = correlate1d_valid(correlate1d(feat1_b4, PRESMOOTH_5TAP, -1), PRESMOOTH_5TAP, -2)
+    presmooth and the derivative.  ``s1``: ``_presmooth_band`` of frame 1;
+    ``warp_b4``: ``(C, h+8, W)`` -> outputs ``(C, h, W)``."""
+    t = s1.dtype.type
     s2 = correlate1d_valid(correlate1d(warp_b4, PRESMOOTH_5TAP, -1), PRESMOOTH_5TAP, -2)
-    s1 = _reclamp_band(s1, r0, 2, real_h)
     s2 = _reclamp_band(s2, r0, 2, real_h)
     blend = s1 * t(0.4) + s2 * t(0.6)  # (C, h+4, W)
     imdx = correlate1d(blend, DERIVATIVE_5TAP, -1)[..., 2:-2, :]
@@ -447,6 +453,11 @@ def _tiled_level_solver(
         xg = jax.lax.all_gather(x_loc, axis_name, axis=0, tiled=True)  # (pad_h, W)
         return xg
 
+    # Loop-invariant hoists: frame 1's band and its getDxs pre-smooth
+    # (only warpIm2 changes per outer iteration; values identical).
+    f1_b4 = _band(feat1_p4, r0, h + 8, 4, 4)
+    f1s_b = _presmooth_band(f1_b4, r0, real_h)
+
     def outer_body(_, carry):
         u_loc, v_loc = carry
         ug = gather_full(u_loc)
@@ -457,10 +468,9 @@ def _tiled_level_solver(
         # Phase 1: warp + spatio-temporal derivatives on a halo-4 band.
         u_b4 = _band(u_p4, r0, h + 8, 4, 4)
         v_b4 = _band(v_p4, r0, h + 8, 4, 4)
-        f1_b4 = _band(feat1_p4, r0, h + 8, 4, 4)
         warp_b4 = _warp_band(f1_b4, feat2, feat2_pack, u_b4, v_b4, y4,
                              real_h, r0=r0 - 4)
-        imdx, imdy, imdt = _get_dxs_band(f1_b4, warp_b4, r0, real_h)
+        imdx, imdy, imdt = _get_dxs_band(f1s_b, warp_b4, r0, real_h)
 
         u_b2 = u_b4[..., 2:-2, :]
         v_b2 = v_b4[..., 2:-2, :]

@@ -251,8 +251,18 @@ def profiled_flow(
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _op_getdxs(f1, warp2):
-    imdx, imdy, imdt = get_dxs(f1, warp2)
+def _op_presmooth(f1):
+    from ..ops.features import presmooth_frame
+
+    f1s = presmooth_frame(f1)
+    return f1s, _fused_scalar(f1s)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _op_getdxs(f1s, warp2):
+    from ..ops.features import get_dxs_presmoothed
+
+    imdx, imdy, imdt = get_dxs_presmoothed(f1s, warp2)
     return imdx, imdy, imdt, _fused_scalar(imdt)
 
 
@@ -371,8 +381,9 @@ def profiled_ops(
         f2_pack = None
         if should_prebuild_pack(f2):
             (f2_pack,) = tm.run("total_warp", _op_pack, f2)
+        (f1s,) = tm.run("total_dx", _op_presmooth, f1)
         for _outer in range(n_outer):
-            imdx, imdy, imdt = tm.run("total_dx", _op_getdxs, f1, warp2)
+            imdx, imdy, imdt = tm.run("total_dx", _op_getdxs, f1s, warp2)
             du = jnp.zeros_like(u)
             dv = jnp.zeros_like(v)
             for _inner in range(n_inner):
@@ -530,14 +541,15 @@ def op_call_table(
                 pyr1[k], pyr2[k], u, v, color_type=params.color_type,
                 bilinear=True, inv_ratio=1.0 / ratio,
             )
-        imdx, imdy, imdt, _ = _op_getdxs(f1, warp2)
+        f1s, _ = _op_presmooth(f1)
+        imdx, imdy, imdt, _ = _op_getdxs(f1s, warp2)
         system, _ = _op_assembly(
             u, v, jnp.zeros_like(u), jnp.zeros_like(v),
             imdx, imdy, imdt, None, params=params,
         )
         if k < max_levels:
             harvest[k] = dict(
-                p1=pyr1[k], p2=pyr2[k], f1=f1, f2=f2, warp2=warp2,
+                p1=pyr1[k], p2=pyr2[k], f1=f1, f1s=f1s, f2=f2, warp2=warp2,
                 u=u, v=v, u_in=u_in, v_in=v_in,
                 imdx=imdx, imdy=imdy, imdt=imdt, system=system,
             )
@@ -552,7 +564,11 @@ def op_call_table(
 
     # ---- per-op chained kernels (shape-polymorphic via jit retrace) ----
     def op_dx(o, b):
-        return get_dxs(o["f1"], o["warp2"] + b.astype(o["warp2"].dtype))[2]
+        from ..ops.features import get_dxs_presmoothed
+
+        return get_dxs_presmoothed(
+            o["f1s"], o["warp2"] + b.astype(o["warp2"].dtype)
+        )[2]
 
     def op_assembly(o, b):
         s = build_sor_system(
