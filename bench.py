@@ -8,12 +8,16 @@ on THIS machine (tools/measure_baseline.py -> BASELINE_MEASURED.json); the
 reference repo publishes no numbers of its own (BASELINE.md).
 
 Config via env:
-  BENCH_CONFIG=1920:15:4 (<width_px>:<pyramid_levels>[:<batch>]), default
-  1920:15:4 — the reference's heaviest headline config (TestSuite.py sweep
-  max).  Measured on v5e (r3, tiled warp gather): 434 ms/pair = 84x the
-  re-measured serial C++ baseline (36.6 s/pair; the r2 "108x" rested on an
-  inflated 67.1 s r1 baseline measurement — see BASELINE_MEASURED.json).
-  batch>1 maps consecutive frame pairs into one dispatch (single chip)
+  BENCH_CONFIG=1920:15 (<width_px>:<pyramid_levels>[:<batch>]), default
+  1920:15 (batch 1) — the reference's heaviest headline config
+  (TestSuite.py sweep max).  Measured on v5e (r3, tiled warp gather +
+  presmooth hoist): 377 ms/pair = 97x the re-measured serial C++
+  baseline (36.6 s/pair; the r2 "108x" rested on an inflated 67.1 s r1
+  baseline measurement — see BASELINE_MEASURED.json).
+  batch>1 lax.maps consecutive pairs into one dispatch — now SLOWER at
+  1920px (the tiled warp loses ~20 ms/pair nested under the pair loop;
+  377 vs 422 ms at b=4); still useful at small frames where the ~25 ms
+  dispatch floor dominates.
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
   fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with >15x
   margin AT THE HEADLINE CONFIG: measured on-chip at 1920px P15 vs the
@@ -282,7 +286,10 @@ class _Watchdog(Exception):
 def main():
     import signal
 
-    cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "1920:15:4").split(":")]
+    # Default batch=1: sequential per-pair dispatches beat lax.map pair
+    # batching with the r3 tiled warp (377 vs 422 ms/pair at 1920px P15;
+    # the ~25 ms dispatch floor is smaller than the nested-loop penalty).
+    cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "1920:15").split(":")]
     width_px, levels = cfg[0], cfg[1]
     batch = cfg[2] if len(cfg) > 2 else 1
     iters = int(os.environ.get("BENCH_ITERS", "5"))

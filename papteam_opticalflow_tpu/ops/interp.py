@@ -411,6 +411,10 @@ _TILE_COLS = 256
 # ~3-4 ns/idx, tools/exp_banded_warp.py).
 _TILE_MARGINS = (24, 96)
 _TILED_WARP = "auto"  # "auto" (TPU + big tables) | "on" (tests) | "off"
+# Tile-loop unroll (scan unroll=1 == lax.map).  Measured at 1920px P15:
+# unroll=8 is WORSE (b=1: 393 vs 377 ms/pair; under an outer pair-batch
+# lax.map: 543 vs 422) — keep the plain sequential loop.
+_TILE_UNROLL = 1
 
 
 def _use_tiled_warp(pack_shape, itemsize: int) -> bool:
@@ -483,7 +487,14 @@ def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
         ) if chunks > 1 else jnp.take(flat, idx, axis=-1)
         return got.reshape(c4, tb, tc)
 
-    tiles = jax.lax.map(one_tile, jnp.arange(nb * nc))  # (nt, C, tb, tc)
+    # NOTE: the windowed gather loses ~20 ms/pair when nested under an
+    # outer pair-batching lax.map (422 vs 377 ms/pair at 1920px P15 b=4),
+    # and scan-unrolling does NOT recover it (see _TILE_UNROLL) — batch
+    # pairs by sequential dispatch instead (bench default batch=1).
+    _, tiles = jax.lax.scan(
+        lambda _, t: (None, one_tile(t)), None,
+        jnp.arange(nb * nc), unroll=_TILE_UNROLL,
+    )  # (nt, C, tb, tc)
     tiles = tiles.reshape(nb, nc, c4, tb, tc)
     return jnp.moveaxis(tiles, (0, 3, 1, 4), (1, 2, 3, 4)).reshape(
         c4, h_pad, w_pad)[:, :out_h, :out_w]

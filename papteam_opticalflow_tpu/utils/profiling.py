@@ -78,13 +78,16 @@ def measure_dispatch_floor(reps: int = 16, force: bool = False) -> float:
     f = jax.jit(lambda x: jnp.sum(x) + 1.0)
     x = jnp.zeros((8,), jnp.float32)
     float(f(x))  # compile
-    ts = []
+    best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         float(f(x))
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    _FLOOR = ts[len(ts) // 2]
+        best = min(best, time.perf_counter() - t0)
+    # MIN, not median: units are also timed best-of-N, and min-vs-min is
+    # the consistent estimator of the fixed overhead (a median floor
+    # against best-of units over-subtracts by the floor's own jitter,
+    # which at 32 units is ~0.1 s of phantom correction).
+    _FLOOR = best
     return _FLOOR
 
 
@@ -96,14 +99,18 @@ class _Timer:
         self.timings: Dict[str, float] = {}
         self.units = 0
 
-    def run(self, key: str, fn, *args, **kwargs):
-        """Call ``fn`` (whose LAST output is the fused barrier scalar),
-        fetch the scalar, and accrue the floor-corrected elapsed time
-        under ``key``.  Returns the outputs minus the scalar."""
-        t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
-        float(out[-1])
-        dt = max(time.perf_counter() - t0 - self.floor, 0.0)
+    def run(self, key: str, fn, *args, reps: int = 3, **kwargs):
+        """Call ``fn`` (whose LAST output is the fused barrier scalar)
+        ``reps`` times — pure function, identical outputs — fetch the
+        scalar each time, and accrue the best floor-corrected elapsed
+        time under ``key``.  Returns the outputs minus the scalar."""
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args, **kwargs)
+            float(out[-1])
+            best = min(best, time.perf_counter() - t0)
+        dt = max(best - self.floor, 0.0)
         self.timings[key] = self.timings.get(key, 0.0) + dt
         self.units += 1
         return out[:-1]
