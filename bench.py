@@ -96,7 +96,7 @@ def bench_config(width_px: int, levels: int, iters: int, batch: int = 1):
     a, b = load_pairs(width_px, batch)
     if batch > 1:
         # Single-chip frame batching: distinct consecutive dataset pairs
-        # vmapped into one dispatch (papteam_opticalflow_tpu.parallel.batch).
+        # lax.map'd into one dispatch (parallel.batch.mapped_coarse2fine_flow).
         x1 = jnp.stack([to_chw(f, dtype=jnp.float32) for f in a])
         x2 = jnp.stack([to_chw(f, dtype=jnp.float32) for f in b])
     else:

@@ -365,7 +365,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--suffix", default="_tpu")
     p.add_argument("--output", default="output")
     p.add_argument("--resume", action="store_true",
-                   help="skip work items recorded in sweep_manifest.json")
+                   help="skip work items recorded in sweep_manifest.jsonl (or the legacy sweep_manifest.json)")
     p.add_argument("--no-images", action="store_true")
     p.add_argument("--gif", action="store_true",
                    help="assemble each collection's flow sequence into an "

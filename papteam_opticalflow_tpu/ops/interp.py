@@ -569,10 +569,6 @@ def _make_adaptive_gather(chunks: int):
     return adaptive
 
 
-def _gather2d_warp_adaptive(img, yi, xi, valid):
-    return _make_adaptive_gather(1)(img, yi, xi, valid)
-
-
 def gather2d_band_adaptive(img, yi, xi, valid, row0, chunks: int = 1):
     """Displacement-adaptive tiled gather for a ROW BAND of a full-frame
     table (the sharded solver's per-shard warp): output row ``b`` samples

@@ -55,7 +55,6 @@ from ..ops.interp import (
     bilinear_gather_packed,
     pack_patch2x2,
     resize_to,
-    should_pack_warp,
     should_prebuild_pack,
 )
 from ..ops.robust import assemble_system, phi_weight, psi_weight

@@ -69,7 +69,7 @@ _FLOOR: float | None = None
 
 
 def measure_dispatch_floor(reps: int = 16, force: bool = False) -> float:
-    """Median seconds for one jitted no-op dispatch + one scalar fetch —
+    """MIN seconds for one jitted no-op dispatch + one scalar fetch —
     the per-unit overhead this platform adds to every timed unit
     (~25-50 ms through the axon tunnel, ~100 us locally)."""
     global _FLOOR
@@ -577,6 +577,14 @@ def op_call_table(
             o["f1s"], o["warp2"] + b.astype(o["warp2"].dtype)
         )[2]
 
+    def op_presmooth(o, b):
+        from ..ops.features import presmooth_frame
+
+        return presmooth_frame(o["f1"] + b.astype(o["f1"].dtype))
+
+    def op_pack(o, b):
+        return pack_patch2x2(o["f2"] + b.astype(o["f2"].dtype))
+
     def op_assembly(o, b):
         s = build_sor_system(
             o["u"] + b, o["v"], jnp.zeros_like(o["u"]),
@@ -619,6 +627,7 @@ def op_call_table(
     chains = {name: _make_chain(fn) for name, fn in [
         ("dx", op_dx), ("assembly", op_assembly), ("warp", op_warp),
         ("feature", op_feature), ("resize", op_resize),
+        ("presmooth", op_presmooth), ("pack", op_pack),
     ]}
     chain_pyr = _make_chain(op_pyramid)
     chain_bic = _make_chain(op_bicubic)
@@ -631,7 +640,8 @@ def op_call_table(
             + seconds * calls
 
     for k, o in sorted(harvest.items()):
-        if should_prebuild_pack(o["f2"]):
+        has_pack = should_prebuild_pack(o["f2"])
+        if has_pack:
             o["pack"] = pack_patch2x2(o["f2"])
         n_outer, n_inner, n_sor = params.level_schedule(k)
         # Amplification scales inversely with level size: small-level ops
@@ -651,9 +661,18 @@ def op_call_table(
             return sor_solve(sysb, _n, params)[0]
         row["sor"] = _time_chain(_make_chain(op_sor), o, hi=min(hi, 53))
 
+        # Once-per-level costs the production loop pays (hoisted out of
+        # the fixed-point iterations): frame-1 presmooth -> total_dx,
+        # patch-pack build -> total_warp.
+        row["presmooth_1x"] = _time_chain(chains["presmooth"], o, hi=hi)
+        if has_pack:
+            row["pack_1x"] = _time_chain(chains["pack"], o, hi=hi)
         per_call[f"level{k}"] = {
             n: round(s * 1e3, 3) for n, s in row.items()
         }
+        add("dx", row["presmooth_1x"], 1)
+        if has_pack:
+            add("warp", row["pack_1x"], 1)
         add("dx", row["dx"], n_outer * 1)
         add("assembly", row["assembly"], n_outer * n_inner)
         add("sor", row["sor"], n_outer * n_inner)
@@ -675,7 +694,9 @@ def op_call_table(
         "coverage_note": (
             f"per-call times measured by on-device chained amplification "
             f"(trip-count differencing) at the {len(harvest)} finest "
-            f"levels x exact call counts; coarser levels omitted "
-            f"(<~2-5% of pair time, visible in the phase tier)"
+            f"levels x exact call counts (incl. the once-per-level "
+            f"presmooth hoist -> total_dx and patch-pack build -> "
+            f"total_warp); coarser levels omitted (<~2-5% of pair time, "
+            f"visible in the phase tier)"
         ),
     }

@@ -168,13 +168,13 @@ def measure_engine(h: int, w: int, c: int, dtype, reps: int = 3,
     from papteam_opticalflow_tpu.ops import interp
     from papteam_opticalflow_tpu.ops.interp import (
         pack_patch2x2,
-        should_pack_warp,
+        should_prebuild_pack,
     )
 
     rng = np.random.default_rng(2)
     im1 = jnp.asarray(rng.random((c, h, w), dtype=np.float32), dtype=dtype)
     im2 = jnp.asarray(rng.random((c, h, w), dtype=np.float32), dtype=dtype)
-    pack = pack_patch2x2(im2) if should_pack_warp(im2) else None
+    pack = pack_patch2x2(im2) if should_prebuild_pack(im2) else None
     vx, vy = _smooth_flow(h, w)
     vx, vy = jnp.asarray(vx), jnp.asarray(vy)
     prev = interp._TILED_WARP
