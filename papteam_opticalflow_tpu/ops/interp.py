@@ -541,8 +541,11 @@ def _make_adaptive_gather(chunks: int):
         return jax.lax.switch(
             bucket,
             [
-                lambda a, y, x: _gather2d_tiled(a, y, x, m_small, chunks),
-                lambda a, y, x: _gather2d_tiled(a, y, x, m_wide, chunks),
+                # Windowed branches gather UNCHUNKED (no slice-width
+                # cliff at window footprint — see _tiled_chunks); only
+                # the full-table fallback needs the chunk split.
+                lambda a, y, x: _gather2d_tiled(a, y, x, m_small, 1),
+                lambda a, y, x: _gather2d_tiled(a, y, x, m_wide, 1),
                 lambda a, y, x: _gather2d_chunked(a, y, x, chunks),
             ],
             img, yi, xi,
@@ -595,8 +598,10 @@ def gather2d_band_adaptive(img, yi, xi, valid, row0, chunks: int = 1):
     return jax.lax.switch(
         bucket,
         [
-            lambda a, y, x: _gather2d_tiled(a, y, x, m_small, chunks, row0),
-            lambda a, y, x: _gather2d_tiled(a, y, x, m_wide, chunks, row0),
+            # Unchunked inside windows; chunked only at full table
+            # (see _tiled_chunks).
+            lambda a, y, x: _gather2d_tiled(a, y, x, m_small, 1, row0),
+            lambda a, y, x: _gather2d_tiled(a, y, x, m_wide, 1, row0),
             lambda a, y, x: _gather2d_chunked(a, y, x, chunks),
         ],
         img, yi, xi,
@@ -643,9 +648,12 @@ def should_pack_warp(img: jnp.ndarray) -> bool:
 
 
 def _tiled_chunks(c4: int, itemsize: int) -> int:
-    """Channel-chunking that keeps each tiled-window take's per-index
-    slice inside the fast ~48 B width (wide-slice dtypes gather the pack
-    in 2 or 4 chunks; values identical)."""
+    """Channel-chunking for the FULL-TABLE fallback branch only: big-table
+    gathers cliff above ~48 B/slice, so wide slices split into 2 or 4
+    chunks there (the r2 scheme).  Inside the tiled windows the cliff
+    does not exist — measured at 1080x1920 window scale: one 96 B take
+    9.2 ms vs 4x24 B 24.8 ms; one 192 B take 12.9 ms vs 4x48 B 31.2 ms —
+    so the windowed branches always gather unchunked."""
     for chunks in (1, 2, 4):
         if c4 % chunks == 0 and c4 * itemsize // chunks <= 48:
             return chunks
