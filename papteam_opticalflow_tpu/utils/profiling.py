@@ -92,25 +92,38 @@ def measure_dispatch_floor(reps: int = 16, force: bool = False) -> float:
 
 
 class _Timer:
-    """Accumulates floor-corrected unit times under string keys."""
+    """Accumulates floor-corrected unit times under string keys.
+
+    The dispatch floor is re-sampled INTERLEAVED with every unit (one
+    no-op round trip after each unit rep): the platform's floor drifts
+    by >10 ms over minutes, so a floor sampled once up front over- or
+    under-subtracts across 32 units by ~0.1-0.3 s (observed coherence
+    swinging 0.55-1.0 between runs)."""
 
     def __init__(self) -> None:
-        self.floor = measure_dispatch_floor()
+        self.floor = measure_dispatch_floor()  # initial estimate
+        self._noop = jax.jit(lambda x: jnp.sum(x) + 1.0)
+        self._noop_x = jnp.zeros((8,), jnp.float32)
+        float(self._noop(self._noop_x))  # compile
         self.timings: Dict[str, float] = {}
         self.units = 0
 
     def run(self, key: str, fn, *args, reps: int = 3, **kwargs):
         """Call ``fn`` (whose LAST output is the fused barrier scalar)
         ``reps`` times — pure function, identical outputs — fetch the
-        scalar each time, and accrue the best floor-corrected elapsed
-        time under ``key``.  Returns the outputs minus the scalar."""
-        best = float("inf")
+        scalar each time, interleave a no-op floor sample, and accrue
+        ``min(unit) - min(floor)`` under ``key``.  Returns the outputs
+        minus the scalar."""
+        best = floor = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(*args, **kwargs)
             float(out[-1])
             best = min(best, time.perf_counter() - t0)
-        dt = max(best - self.floor, 0.0)
+            t0 = time.perf_counter()
+            float(self._noop(self._noop_x))
+            floor = min(floor, time.perf_counter() - t0)
+        dt = max(best - floor, 0.0)
         self.timings[key] = self.timings.get(key, 0.0) + dt
         self.units += 1
         return out[:-1]
