@@ -203,7 +203,7 @@ def main():
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--pairs-per-device", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--t1", type=float, default=0.377,
+    ap.add_argument("--t1", type=float, default=0.365,
                     help="measured single-chip s/pair at the projection "
                          "config (bench.py headline)")
     ap.add_argument("--repl-frac", type=float, default=0.24,
