@@ -11,7 +11,7 @@ Config via env:
   BENCH_CONFIG=1920:15 (<width_px>:<pyramid_levels>[:<batch>]), default
   1920:15 (batch 1) — the reference's heaviest headline config
   (TestSuite.py sweep max).  Measured on v5e (r3, tiled warp gather +
-  presmooth hoist + unchunked windows): 365 ms/pair = 100x the
+  presmooth hoist + unchunked adaptive windows): 352 ms/pair = 104x the
   re-measured serial C++ baseline (36.6 s/pair; the r2 "108x" rested on an inflated 67.1 s r1
   baseline measurement — see BASELINE_MEASURED.json).
   batch>1 lax.maps consecutive pairs into one dispatch — now SLOWER at

@@ -401,8 +401,14 @@ def resize_by_ratio(img: jnp.ndarray, ratio: float) -> jnp.ndarray:
 # a tight-margin tiling, a wide-margin tiling, and the full-table gather,
 # so arbitrary flows stay exact.
 
-_TILE_ROWS = 54
-_TILE_COLS = 256
+# Tile geometry: larger windows amortize per-window costs — measured at
+# 1080x1920x20ch bf16 (chained take only): 54x256 tiles 8.0 ms, 108x384
+# 6.3 ms, 108x640 6.2 ms, but 54x896 regresses to 9.5 ms (column-heavy
+# aspect).  The plan picks the largest admissible tile per level shape;
+# narrow levels degrade naturally to full-width row bands (window covers
+# every column, which is exact for ANY horizontal displacement).
+_TILE_ROWS_OPTIONS = (108, 54, 32)
+_TILE_COLS_OPTIONS = (640, 384, 256)
 # Tight/wide window margins (px).  The tight tier must catch real frames:
 # the recorded 1920px P15 oracle flow peaks at 19.1 px in-bounds
 # displacement (tests/fixtures/oracle_1920_P15.npz), so tight = 24; wide
@@ -410,6 +416,16 @@ _TILE_COLS = 256
 # Window cost is flat in this range (0.9-4.4 MB windows all gather at
 # ~3-4 ns/idx, tools/exp_banded_warp.py).
 _TILE_MARGINS = (24, 96)
+
+
+def _tile_plan(out_h: int, w: int):
+    """(tile_rows, tile_cols) for an output grid of ``out_h`` rows over a
+    ``w``-wide table: the largest option that still yields >= ~4 row
+    bands and >= 2 column tiles; otherwise full-width bands."""
+    tb = next((t for t in _TILE_ROWS_OPTIONS if out_h >= 4 * t),
+              _TILE_ROWS_OPTIONS[-1])
+    tc = next((t for t in _TILE_COLS_OPTIONS if w >= 2 * t), w)
+    return tb, tc
 _TILED_WARP = "auto"  # "auto" (TPU + big tables) | "on" (tests) | "off"
 # Tile-loop unroll (scan unroll=1 == lax.map).  Measured at 1920px P15:
 # unroll=8 is WORSE (b=1: 393 vs 377 ms/pair; under an outer pair-batch
@@ -421,12 +437,14 @@ def _use_tiled_warp(pack_shape, itemsize: int) -> bool:
     if _TILED_WARP == "off":
         return False
     c4, h, w = pack_shape
+    # Below ~8 MB the full-table gather is already in its fast regime
+    # (tools/gather_floor.py table sweep), and the geometry needs a few
+    # bands to win; window extents clamp to the table so no upper-bound
+    # constraints are needed.
     big = (
-        h >= 4 * _TILE_ROWS
-        and w >= 2 * _TILE_COLS
-        and c4 * h * w * itemsize >= 8 * 2**20
-        and h >= _TILE_ROWS + 2 * _TILE_MARGINS[1]
-        and w >= _TILE_COLS + 2 * _TILE_MARGINS[1]
+        c4 * h * w * itemsize >= 8 * 2**20
+        and h >= 4 * _TILE_ROWS_OPTIONS[-1]
+        and w >= 256
     )
     if _TILED_WARP == "on":
         return big
@@ -456,10 +474,13 @@ def _gather2d_tiled(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
     """
     c4, h, w = img.shape
     out_h, out_w = yi.shape
-    tb, tc = _TILE_ROWS, _TILE_COLS
+    tb, tc = _tile_plan(out_h, w)
     nb, nc = -(-out_h // tb), -(-out_w // tc)
     h_pad, w_pad = nb * tb, nc * tc
-    winr, winc = tb + 2 * margin, tc + 2 * margin
+    # Window extents clamp to the table: a full-width window (tc >= w)
+    # covers every column and is exact for ANY horizontal displacement.
+    winr = min(tb + 2 * margin, h)
+    winc = min(tc + 2 * margin, w)
     cb = c4 // chunks
 
     pad = ((0, h_pad - out_h), (0, w_pad - out_w))
