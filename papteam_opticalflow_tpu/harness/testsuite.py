@@ -51,34 +51,54 @@ PROGRESSIONS = {
 }
 
 
+def _pair_stats(u, v):
+    """Device-side divergence stats for one pair: ``[finite, max_flow]``
+    as float32.  Fetching this (2,) vector is the sweep's completion
+    barrier — the full (H, W) flow fields stay on device unless an image
+    artifact actually needs them (the tunneled host link costs ~25 ms/MB,
+    so fetching u+v at 1920px is ~0.4 s/pair of pure transfer that the
+    reference's in-process C++ never pays)."""
+    import jax.numpy as jnp
+
+    finite = jnp.isfinite(u).all() & jnp.isfinite(v).all()
+    max_flow = jnp.maximum(jnp.abs(u).max(), jnp.abs(v).max())
+    return jnp.stack(
+        [finite.astype(jnp.float32), max_flow.astype(jnp.float32)]
+    )
+
+
 def _flow_chw(im1_chw, im2_chw, levels: int, params: FlowParams):
-    """One pair through the jitted pipeline; returns (timing, u, v)."""
+    """One pair through the jitted pipeline; returns
+    (timing, u, v, finite, max_flow) — ``u``/``v`` are DEVICE arrays."""
     import jax
     import jax.numpy as jnp
 
     from ..models.coarse2fine import coarse2fine_flow_chw
 
+    stats_fn = jax.jit(_pair_stats)
     start = time.perf_counter()
     u, v, _w = coarse2fine_flow_chw(
         jnp.asarray(im1_chw), jnp.asarray(im2_chw), levels, params
     )
-    u = np.asarray(u)  # completion barrier (axon ignores block_until_ready)
-    v = np.asarray(v)
+    # Completion barrier: one small fetch (axon ignores block_until_ready).
+    stats = np.asarray(stats_fn(u, v))
     elapsed = time.perf_counter() - start
     timing = {
         "Total Device Execution": str(elapsed),
         "Total C++ Execution": str(elapsed),
     }
-    return timing, u, v
+    return timing, u, v, bool(stats[0]), float(stats[1])
 
 
 def _flow_chw_batch(im1s_chw, im2s_chw, levels: int, params: FlowParams):
     """A batch of pairs in ONE device dispatch (``lax.map`` on-chip);
-    returns (per-pair timing dicts, u stack, v stack)."""
+    returns (per-pair timing dicts, u stack, v stack, finites, max_flows)."""
+    import jax
     import jax.numpy as jnp
 
     from ..parallel.batch import mapped_coarse2fine_flow
 
+    stats_fn = jax.jit(jax.vmap(_pair_stats))
     start = time.perf_counter()
     u, v, _w = mapped_coarse2fine_flow(
         jnp.asarray(np.stack(im1s_chw)),
@@ -86,14 +106,16 @@ def _flow_chw_batch(im1s_chw, im2s_chw, levels: int, params: FlowParams):
         levels,
         params,
     )
-    u = np.asarray(u)  # completion barrier (axon ignores block_until_ready)
-    v = np.asarray(v)
+    stats = np.asarray(stats_fn(u, v))  # (n, 2) barrier fetch
     per = (time.perf_counter() - start) / len(im1s_chw)
     timing = {
         "Total Device Execution": str(per),
         "Total C++ Execution": str(per),
     }
-    return [dict(timing) for _ in im1s_chw], u, v
+    return (
+        [dict(timing) for _ in im1s_chw], u, v,
+        [bool(s) for s in stats[:, 0]], [float(s) for s in stats[:, 1]],
+    )
 
 
 def _flow_chw_mesh(im1s_chw, im2s_chw, levels: int, params: FlowParams, mesh):
@@ -113,18 +135,24 @@ def _flow_chw_mesh(im1s_chw, im2s_chw, levels: int, params: FlowParams, mesh):
     pad = pad_batch_for_mesh(n, n_frame)
     x1 = np.stack(list(im1s_chw) + [im1s_chw[-1]] * pad)
     x2 = np.stack(list(im2s_chw) + [im2s_chw[-1]] * pad)
+    import jax
+
+    stats_fn = jax.jit(jax.vmap(_pair_stats))
     start = time.perf_counter()
     u, v, _w = batched_coarse2fine_flow(
         jnp.asarray(x1), jnp.asarray(x2), levels, params, mesh
     )
-    u = np.asarray(u)[:n]  # completion barrier + drop pad results
-    v = np.asarray(v)[:n]
+    stats = np.asarray(stats_fn(u, v))[:n]  # barrier + drop pad results
     per = (time.perf_counter() - start) / n
+    u, v = u[:n], v[:n]
     timing = {
         "Total Device Execution": str(per),
         "Total C++ Execution": str(per),
     }
-    return [dict(timing) for _ in range(n)], u, v
+    return (
+        [dict(timing) for _ in range(n)], u, v,
+        [bool(s) for s in stats[:, 0]], [float(s) for s in stats[:, 1]],
+    )
 
 
 def build_mesh_from_args(args):
@@ -219,14 +247,15 @@ def run_sweep(args) -> dict:
                     [(p.before.path, p.after.path) for p in todo]
                 )
 
-                def record_pair(pair, timing, u, v):
+                def record_pair(pair, timing, u, v, finite, max_flow):
                     key = key_of(pair)
                     # Failure detection the reference lacks (SURVEY.md §5.3):
-                    # flag NaN/divergence per frame instead of writing garbage.
-                    finite = bool(np.isfinite(u).all() and np.isfinite(v).all())
-                    max_flow = float(
-                        max(np.abs(u).max(), np.abs(v).max())
-                    ) if finite else float("nan")
+                    # flag NaN/divergence per frame instead of writing
+                    # garbage.  Stats arrive device-computed (_pair_stats);
+                    # u/v are fetched to host ONLY if an image artifact
+                    # needs them below.
+                    if not finite:
+                        max_flow = float("nan")
                     if not finite or max_flow > args.divergence_threshold:
                         stats["failed"] += 1
                         timing_jsonl.append(
@@ -236,6 +265,8 @@ def run_sweep(args) -> dict:
                             )
                         )
                         return
+                    if not args.no_images or getattr(args, "gif", False):
+                        u, v = np.asarray(u), np.asarray(v)
                     if not args.no_images:
                         img_dir.mkdir(parents=True, exist_ok=True)
                         save_flow_image(
@@ -298,24 +329,28 @@ def run_sweep(args) -> dict:
                         flush=True,
                     )
                     if mesh is not None:
-                        timings, us, vs = _flow_chw_mesh(
+                        timings, us, vs, fin, mf = _flow_chw_mesh(
                             [a for a, _ in ims], [b for _, b in ims],
                             levels, params, mesh,
                         )
-                        for pair, timing, u, v in zip(group, timings, us, vs):
-                            record_pair(pair, timing, u, v)
+                        for pair, timing, u, v, f, m in zip(
+                            group, timings, us, vs, fin, mf
+                        ):
+                            record_pair(pair, timing, u, v, f, m)
                     elif len(group) == 1:
-                        timing, u, v = _flow_chw(
+                        timing, u, v, f, m = _flow_chw(
                             ims[0][0], ims[0][1], levels, params
                         )
-                        record_pair(group[0], timing, u, v)
+                        record_pair(group[0], timing, u, v, f, m)
                     else:
-                        timings, us, vs = _flow_chw_batch(
+                        timings, us, vs, fin, mf = _flow_chw_batch(
                             [a for a, _ in ims], [b for _, b in ims],
                             levels, params,
                         )
-                        for pair, timing, u, v in zip(group, timings, us, vs):
-                            record_pair(pair, timing, u, v)
+                        for pair, timing, u, v, f, m in zip(
+                            group, timings, us, vs, fin, mf
+                        ):
+                            record_pair(pair, timing, u, v, f, m)
                 loader.close()
                 if gif_frames:
                     # The reference's per-collection demo artifact
