@@ -266,7 +266,18 @@ def run_sweep(args) -> dict:
                         )
                         return
                     if not args.no_images or getattr(args, "gif", False):
-                        u, v = np.asarray(u), np.asarray(v)
+                        import jax.numpy as jnp
+
+                        # Viz-only fetch: cast to f16 on device first —
+                        # halves the ~25 ms/MB tunneled transfer; f16's
+                        # ~1e-3 relative error is invisible in the uint8
+                        # HSV rendering (flow values are recorded in the
+                        # timing logs from the device-side stats, never
+                        # from this cast).
+                        u = np.asarray(jnp.asarray(u, jnp.float16),
+                                       dtype=np.float32)
+                        v = np.asarray(jnp.asarray(v, jnp.float16),
+                                       dtype=np.float32)
                     if not args.no_images:
                         img_dir.mkdir(parents=True, exist_ok=True)
                         save_flow_image(
