@@ -67,9 +67,11 @@ def _pair_stats(u, v):
     )
 
 
-def _flow_chw(im1_chw, im2_chw, levels: int, params: FlowParams):
-    """One pair through the jitted pipeline; returns
-    (timing, u, v, finite, max_flow) — ``u``/``v`` are DEVICE arrays."""
+def _flow_chw_dispatch(im1_chw, im2_chw, levels: int, params: FlowParams):
+    """Enqueue one pair WITHOUT waiting for it (JAX dispatch is async):
+    returns an opaque pending handle for ``_flow_chw_resolve``.  Used by
+    the pipelined sweep to keep the next pair's program queued while the
+    previous one executes, hiding the per-dispatch host latency."""
     import jax
     import jax.numpy as jnp
 
@@ -80,14 +82,28 @@ def _flow_chw(im1_chw, im2_chw, levels: int, params: FlowParams):
     u, v, _w = coarse2fine_flow_chw(
         jnp.asarray(im1_chw), jnp.asarray(im2_chw), levels, params
     )
-    # Completion barrier: one small fetch (axon ignores block_until_ready).
-    stats = np.asarray(stats_fn(u, v))
+    return start, u, v, stats_fn(u, v)
+
+
+def _flow_chw_resolve(pending):
+    """Barrier on a pending pair: one small stats fetch (axon ignores
+    block_until_ready).  Returns (timing, u, v, finite, max_flow)."""
+    start, u, v, stats_dev = pending
+    stats = np.asarray(stats_dev)
     elapsed = time.perf_counter() - start
     timing = {
         "Total Device Execution": str(elapsed),
         "Total C++ Execution": str(elapsed),
     }
     return timing, u, v, bool(stats[0]), float(stats[1])
+
+
+def _flow_chw(im1_chw, im2_chw, levels: int, params: FlowParams):
+    """One pair through the jitted pipeline; returns
+    (timing, u, v, finite, max_flow) — ``u``/``v`` are DEVICE arrays."""
+    return _flow_chw_resolve(
+        _flow_chw_dispatch(im1_chw, im2_chw, levels, params)
+    )
 
 
 def _flow_chw_batch(im1s_chw, im2s_chw, levels: int, params: FlowParams):
@@ -299,7 +315,11 @@ def run_sweep(args) -> dict:
                             # share one dispatch; no device-side per-pair
                             # timer exists on this platform)
                             timing_mode=(
-                                "per_pair" if batch == 1 and mesh is None
+                                "pipelined" if (
+                                    batch == 1 and mesh is None
+                                    and getattr(args, "pipeline", False)
+                                ) else "per_pair"
+                                if batch == 1 and mesh is None
                                 else "wall_over_batch"
                             ),
                             max_flow=max_flow,
@@ -311,6 +331,7 @@ def run_sweep(args) -> dict:
                         mf.write(json.dumps(key) + "\n")
 
                 idx = 0
+                pending = None  # pipelined mode: (pair, dispatch handle)
                 while idx < len(todo):
                     group, ims = [], []
                     while idx < len(todo) and len(group) < batch:
@@ -349,10 +370,26 @@ def run_sweep(args) -> dict:
                         ):
                             record_pair(pair, timing, u, v, f, m)
                     elif len(group) == 1:
-                        timing, u, v, f, m = _flow_chw(
-                            ims[0][0], ims[0][1], levels, params
-                        )
-                        record_pair(group[0], timing, u, v, f, m)
+                        if getattr(args, "pipeline", False):
+                            # Depth-1 software pipeline: enqueue this
+                            # pair, then resolve the previous one — the
+                            # device never idles between pairs, so sweep
+                            # throughput loses the per-dispatch host
+                            # latency (~25 ms/pair on this platform).
+                            disp = _flow_chw_dispatch(
+                                ims[0][0], ims[0][1], levels, params
+                            )
+                            if pending is not None:
+                                p_pair, p_disp = pending
+                                record_pair(
+                                    p_pair, *_flow_chw_resolve(p_disp)
+                                )
+                            pending = (group[0], disp)
+                        else:
+                            timing, u, v, f, m = _flow_chw(
+                                ims[0][0], ims[0][1], levels, params
+                            )
+                            record_pair(group[0], timing, u, v, f, m)
                     else:
                         timings, us, vs, fin, mf = _flow_chw_batch(
                             [a for a, _ in ims], [b for _, b in ims],
@@ -362,6 +399,10 @@ def run_sweep(args) -> dict:
                             group, timings, us, vs, fin, mf
                         ):
                             record_pair(pair, timing, u, v, f, m)
+                if pending is not None:  # drain the pipeline tail
+                    p_pair, p_disp = pending
+                    record_pair(p_pair, *_flow_chw_resolve(p_disp))
+                    pending = None
                 loader.close()
                 if gif_frames:
                     # The reference's per-collection demo artifact
@@ -410,6 +451,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "row bands (parallel/mesh.py)")
     p.add_argument("--suffix", default="_tpu")
     p.add_argument("--output", default="output")
+    p.add_argument("--pipeline", action="store_true",
+                   help="depth-1 software pipeline for single-pair sweeps: "
+                        "enqueue pair k+1 before waiting on pair k, hiding "
+                        "the per-dispatch host latency (per-pair timing "
+                        "rows stay device-time-accurate; timing_mode tags "
+                        "them 'pipelined')")
     p.add_argument("--resume", action="store_true",
                    help="skip work items recorded in sweep_manifest.jsonl (or the legacy sweep_manifest.json)")
     p.add_argument("--no-images", action="store_true")

@@ -146,6 +146,35 @@ class TestSweepCLI:
         stats = testsuite.run_sweep(args)
         assert stats["completed"] == 0 and stats["skipped"] == 1
 
+    @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
+    def test_pipelined_sweep(self, tmp_path):
+        """--pipeline overlaps pair k+1's dispatch with pair k's barrier;
+        results (statuses, artifact set, manifest) must match the
+        sequential sweep, with timing rows tagged 'pipelined'."""
+        from papteam_opticalflow_tpu.harness import testsuite
+
+        argv = [
+            "--root", str(REF_ROOT),
+            "--collections", "HoChiMinhTraffic_10FPS_240",
+            "--images-per-collection", "3",
+            "--pyramid-levels", "2",
+            "--output", str(tmp_path),
+            "--pipeline",
+        ]
+        stats = testsuite.run_sweep(testsuite.build_parser().parse_args(argv))
+        assert stats["completed"] == 3 and stats["failed"] == 0
+        rows = [
+            json.loads(line)
+            for line in (tmp_path / "timing.jsonl").read_text().splitlines()
+        ]
+        assert len(rows) == 3
+        assert all(r["status"] == "ok" for r in rows)
+        assert all(r["timing_mode"] == "pipelined" for r in rows)
+        assert all(r["max_flow"] > 0 for r in rows)
+        imgs = list((tmp_path / "HoChiMinhTraffic_10FPS_240_tpu"
+                     / "images_P2").glob("*.jpg"))
+        assert len(imgs) == 3  # viz artifacts drain through the pipeline
+
     def test_gif_assembly(self, tmp_path):
         """--gif writes the per-collection animated-flow artifact (the
         reference's images_Video/*/normal_out.gif deliverable)."""
