@@ -256,8 +256,14 @@ def smooth_flow_sor(
 
     carry = (u, v, warp_im2,
              lap_para if track_noise else jnp.zeros((im1.shape[0],), u.dtype))
-    carry = jax.lax.fori_loop(
-        0, n_outer, lambda _, c: outer_body(c), carry
-    )
+    if 0 < n_outer <= params.unroll_outer_max_n:
+        # Same body, trace-unrolled: no fori_loop carry materialization
+        # between outer iterations (see FlowParams.unroll_outer_max_n).
+        for _ in range(n_outer):
+            carry = outer_body(carry)
+    else:
+        carry = jax.lax.fori_loop(
+            0, n_outer, lambda _, c: outer_body(c), carry
+        )
     u, v, warp_im2, noise = carry
     return u, v, warp_im2, (noise if track_noise else None)

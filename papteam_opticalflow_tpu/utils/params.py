@@ -111,6 +111,13 @@ class FlowParams:
     # vs float32 — far inside the 0.1 px budget, but NOT bit-parity; keep
     # the default for oracle comparisons).
     image_dtype: str = "float32"
+    # Trace-time unroll of the outer fixed-point loop for levels whose
+    # ``n_outer <= unroll_outer_max_n`` (the FINEST levels — level k runs
+    # ``7 + k`` outer iterations, so a threshold of 8 unrolls levels 0-1).
+    # Unrolling removes the ``lax.fori_loop`` iteration boundary (loop
+    # carries materialize in HBM and block cross-iteration fusion) at the
+    # cost of a proportionally larger trace/compile.  0 disables.
+    unroll_outer_max_n: int = 0
 
     def __post_init__(self):
         if self.solver not in ("sor", "cg"):

@@ -102,6 +102,28 @@ class TestBicubicFeedback:
         assert bool(jnp.isfinite(u).all())
 
 
+class TestUnrolledOuterLoop:
+    def test_unroll_matches_fori_loop(self):
+        # unroll_outer_max_n trace-unrolls the outer fixed-point loop at
+        # levels with n_outer <= threshold.  Identical per-point arithmetic;
+        # only XLA fusion/FMA contraction may differ across the removed
+        # loop boundary, so results agree to float-reassociation noise
+        # (measured ~5e-7 px on real frames, ~1e-3 on chaotic-sensitive
+        # pure-noise synthetics — use a smooth translated pair here).
+        import dataclasses
+
+        im1, im2 = make_pair(h=48, w=64)
+        im1 = im1.astype(jnp.float32)
+        im2 = im2.astype(jnp.float32)
+        u0, v0, _ = coarse2fine_flow_chw(im1, im2, 2, FlowParams())
+        p = dataclasses.replace(FlowParams(), unroll_outer_max_n=99)
+        u1, v1, _ = coarse2fine_flow_chw(im1, im2, 2, p)
+        err = np.hypot(
+            np.asarray(u1 - u0, np.float64), np.asarray(v1 - v0, np.float64)
+        ).mean()
+        assert err < 5e-3, err
+
+
 class TestBF16ImagePath:
     def test_bf16_close_to_f32(self):
         # image_dtype="bfloat16" stores image planes in bf16 while the flow
