@@ -401,14 +401,21 @@ def resize_by_ratio(img: jnp.ndarray, ratio: float) -> jnp.ndarray:
 # a tight-margin tiling, a wide-margin tiling, and the full-table gather,
 # so arbitrary flows stay exact.
 
-# Tile geometry: larger windows amortize per-window costs — measured at
-# 1080x1920x20ch bf16 (chained take only): 54x256 tiles 8.0 ms, 108x384
-# 6.3 ms, 108x640 6.2 ms, but 54x896 regresses to 9.5 ms (column-heavy
-# aspect).  The plan picks the largest admissible tile per level shape;
-# narrow levels degrade naturally to full-width row bands (window covers
-# every column, which is exact for ANY horizontal displacement).
-_TILE_ROWS_OPTIONS = (108, 54, 32)
-_TILE_COLS_OPTIONS = (640, 384, 256)
+# Tile geometry: PADDING is the first-order cost — the output grid pads
+# to tile multiples and every padded cell is a real gathered index.  The
+# r3 fixed option lists (108|54|32 x 640|384|256) padded 1.00x at
+# 1080x1920 but 1.42x at 810x1440 and 1.69x at 455x810, making pyramid
+# levels 1/3 cost ~1.5x their neighbors per pixel-iteration
+# (tools/level_profile.py).  Divisor-aware tiles measured on v5e
+# (tools/exp_tile_plan.py, production 5ch bf16 warp):
+#   1080x1920: 108x640 6.77 ms (unchanged best)
+#   810x1440:  135x512/102x768  3.93-4.00 ms  vs 108x640 5.57
+#   607x1080:  104x1152 (full-width) 2.29     vs 108x384 2.50
+#   455x810:   57-114x896 (full-width) 1.33   vs 108x384 2.02
+# Within ~1.1x padding the surface is flat (+-5-10%); bigger windows
+# amortize per-window cost, so ties break toward FEWER, larger column
+# tiles (full-width bands are also exact for ANY horizontal
+# displacement).
 # Tight/wide window margins (px).  The tight tier must catch real frames:
 # the recorded 1920px P15 oracle flow peaks at 19.1 px in-bounds
 # displacement (tests/fixtures/oracle_1920_P15.npz), so tight = 24; wide
@@ -420,12 +427,27 @@ _TILE_MARGINS = (24, 96)
 
 def _tile_plan(out_h: int, w: int):
     """(tile_rows, tile_cols) for an output grid of ``out_h`` rows over a
-    ``w``-wide table: the largest option that still yields >= ~4 row
-    bands and >= 2 column tiles; otherwise full-width bands."""
-    tb = next((t for t in _TILE_ROWS_OPTIONS if out_h >= 4 * t),
-              _TILE_ROWS_OPTIONS[-1])
-    tc = next((t for t in _TILE_COLS_OPTIONS if w >= 2 * t), w)
-    return tb, tc
+    ``w``-wide table, minimizing padded-grid waste.
+
+    Rows: ~108-row bands by ceil division (padding < n_bands rows).
+    Cols: the lane-aligned (multiple-of-128) tile width over 1-4 column
+    tiles with the least padded width; ties break to the width closest
+    to the measured 640 sweet spot (reproduces every per-shape winner in
+    tools/exp_tile_plan.py: 640@1920, 512-768@1440, 384/1152@1080,
+    896@810, 640@607).  Tables narrower than 256 use one full tile."""
+    nb = max(1, round(out_h / 108))
+    tb = -(-out_h // nb)
+    if w < 256:
+        return tb, w
+    best = None
+    for nc in range(1, 5):
+        tc = (-(-w // nc) + 127) // 128 * 128
+        if tc < 256:
+            continue
+        key = (nc * tc, abs(tc - 640), tc)
+        if best is None or key < best[:3]:
+            best = (*key, tc)
+    return tb, best[3]
 _TILED_WARP = "auto"  # "auto" (TPU + big tables) | "on" (tests) | "off"
 # Tile-loop unroll (scan unroll=1 == lax.map).  Measured at 1920px P15:
 # unroll=8 is WORSE (b=1: 393 vs 377 ms/pair; under an outer pair-batch
@@ -443,7 +465,7 @@ def _use_tiled_warp(pack_shape, itemsize: int) -> bool:
     # constraints are needed.
     big = (
         c4 * h * w * itemsize >= 8 * 2**20
-        and h >= 4 * _TILE_ROWS_OPTIONS[-1]
+        and h >= 128  # >= 4 row bands at the smallest useful tile
         and w >= 256
     )
     if _TILED_WARP == "on":
