@@ -146,6 +146,28 @@ def bench_config(width_px: int, levels: int, iters: int, batch: int = 1):
     fps = 1.0 / best
     log(f"per-pair: best {best * 1e3:.1f} ms, all {[f'{t*1e3:.1f}' for t in times]}")
 
+    # Pipelined throughput: enqueue all iters dispatches back-to-back
+    # (JAX async dispatch) and barrier once, so the device never idles on
+    # the per-dispatch host round trip (~25 ms on this tunneled platform).
+    # This is the steady-state serving rate (harness --pipeline); the
+    # headline above remains the stricter dispatch-inclusive latency.
+    def dispatch_only():
+        if batch > 1:
+            from papteam_opticalflow_tpu.parallel.batch import (
+                mapped_coarse2fine_flow,
+            )
+
+            return mapped_coarse2fine_flow(x1, x2, levels, params)[0]
+        return coarse2fine_flow_chw(x1, x2, levels, params)[0]
+
+    n_pipe = max(iters, 4)
+    t0 = time.perf_counter()
+    outs = [dispatch_only() for _ in range(n_pipe)]
+    if not bool(jnp.isfinite(outs[-1]).all()):  # barrier on the last
+        raise RuntimeError("non-finite flow")
+    pipelined = (time.perf_counter() - t0) / (n_pipe * batch)
+    log(f"pipelined: {pipelined * 1e3:.1f} ms/pair over {n_pipe} dispatches")
+
     vs_baseline = None
     baseline_file = REPO / "BASELINE_MEASURED.json"
     if baseline_file.exists():
@@ -162,6 +184,8 @@ def bench_config(width_px: int, levels: int, iters: int, batch: int = 1):
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "pipelined_ms_per_pair": round(pipelined * 1e3, 1),
+        "pipelined_fps": round(1.0 / pipelined, 3),
     }
 
 

@@ -113,11 +113,15 @@ class FlowParams:
     image_dtype: str = "float32"
     # Trace-time unroll of the outer fixed-point loop for levels whose
     # ``n_outer <= unroll_outer_max_n`` (the FINEST levels — level k runs
-    # ``7 + k`` outer iterations, so a threshold of 8 unrolls levels 0-1).
+    # ``7 + k`` outer iterations, so the default 8 unrolls levels 0-1).
     # Unrolling removes the ``lax.fori_loop`` iteration boundary (loop
     # carries materialize in HBM and block cross-iteration fusion) at the
-    # cost of a proportionally larger trace/compile.  0 disables.
-    unroll_outer_max_n: int = 0
+    # cost of a larger trace/compile.  Measured at 1920px P15 on v5e:
+    # 332.3 -> 290.7 ms/pair (threshold 8; 10/12/99 measure the same
+    # 289-292 ms but compile up to 2x slower — the win saturates at the
+    # two finest levels).  Results differ from the rolled loop only by
+    # XLA fusion/FMA reassociation (~5e-7 px on real frames); 0 disables.
+    unroll_outer_max_n: int = 8
 
     def __post_init__(self):
         if self.solver not in ("sor", "cg"):
