@@ -10,18 +10,20 @@ reference repo publishes no numbers of its own (BASELINE.md).
 Config via env:
   BENCH_CONFIG=1920:15 (<width_px>:<pyramid_levels>[:<batch>]), default
   1920:15 (batch 1) — the reference's heaviest headline config
-  (TestSuite.py sweep max).  Measured on v5e (r3, tiled warp gather +
-  presmooth hoist + unchunked adaptive windows): 352 ms/pair = 104x the
-  re-measured serial C++ baseline (36.6 s/pair; the r2 "108x" rested on an inflated 67.1 s r1
-  baseline measurement — see BASELINE_MEASURED.json).
-  batch>1 lax.maps consecutive pairs into one dispatch — now SLOWER at
-  1920px (the tiled warp loses ~20 ms/pair nested under the pair loop;
-  377 vs 422 ms at b=4); still useful at small frames where the ~25 ms
-  dispatch floor dominates.
+  (TestSuite.py sweep max).  Measured on v5e (late r3: divisor-aware
+  warp tile plan + outer-loop unroll at levels 0-1): 291 ms/pair = 125x
+  the re-measured serial C++ baseline (36.6 s/pair; the r2 "108x" rested
+  on an inflated 67.1 s r1 baseline measurement — see
+  BASELINE_MEASURED.json).  Pipelined (back-to-back async dispatches,
+  one barrier): 271 ms/pair.
+  batch>1 lax.maps consecutive pairs into one dispatch — at 1920px b=4
+  measures 287 ms/pair amortized but its pipelined rate (282) loses to
+  b=1 pipelined (271), and per-dispatch latency is 4x; batching still
+  wins at <=960px (73 ms/pair at 960px P8 b8 = 108x).
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
   fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with >15x
   margin AT THE HEADLINE CONFIG: measured on-chip at 1920px P15 vs the
-  recorded serial-oracle flow: 6.5e-3 px bf16, 1.0e-3 px float32
+  recorded serial-oracle flow: 5.9e-3 px bf16, 1.0e-3 px float32
   (tools/onchip_epe.py).  The ~2e-4 px figure applies to the f64 CPU
   parity mode.)
   BENCH_ITERS=5
@@ -310,9 +312,9 @@ class _Watchdog(Exception):
 def main():
     import signal
 
-    # Default batch=1: sequential per-pair dispatches beat lax.map pair
-    # batching with the r3 tiled warp (377 vs 422 ms/pair at 1920px P15;
-    # the ~25 ms dispatch floor is smaller than the nested-loop penalty).
+    # Default batch=1: best per-pair latency AND best pipelined rate at
+    # 1920px P15 (b1 271 vs b4 282 ms/pair pipelined; b4's amortized
+    # per-pair is 287 vs 292 sequential, but its dispatch latency is 4x).
     cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "1920:15").split(":")]
     width_px, levels = cfg[0], cfg[1]
     batch = cfg[2] if len(cfg) > 2 else 1
