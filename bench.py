@@ -162,7 +162,7 @@ def bench_config(width_px: int, levels: int, iters: int, batch: int = 1):
             return mapped_coarse2fine_flow(x1, x2, levels, params)[0]
         return coarse2fine_flow_chw(x1, x2, levels, params)[0]
 
-    n_pipe = max(iters, 4)
+    n_pipe = max(4 * iters, 16)
     t0 = time.perf_counter()
     outs = [dispatch_only() for _ in range(n_pipe)]
     if not bool(jnp.isfinite(outs[-1]).all()):  # barrier on the last
@@ -349,6 +349,7 @@ def main():
             # never let them sink a successful headline measurement.  Each
             # extra is independently fenced.
             headline_s = 1.0 / result["value"]
+            extras_out = {}
             extras = [
                 ("sor_roofline", lambda: sor_roofline(w_px)),
                 ("phases",
@@ -365,19 +366,29 @@ def main():
                     break
                 try:
                     signal.alarm(per_attempt_s)
-                    result[name] = fn()
+                    extras_out[name] = fn()
                     signal.alarm(0)
                 except Exception as e:  # noqa: BLE001
                     signal.alarm(0)
                     log(f"extra {name} failed ({e}); headline kept")
             # SOR utilization as % of the MEASURED VPU ceilings (r2 task 5).
-            if "sor_roofline" in result and "vpu_peak" in result:
-                g = result["sor_roofline"]["gflops_f32"]
-                result["sor_roofline"]["pct_of_fma_peak"] = round(
-                    100 * g / result["vpu_peak"]["fma_peak_gflops"], 1)
-                result["sor_roofline"]["pct_of_mix_peak"] = round(
-                    100 * g / result["vpu_peak"]["mix_peak_gflops"], 1)
-            print(json.dumps(result))
+            if "sor_roofline" in extras_out and "vpu_peak" in extras_out:
+                g = extras_out["sor_roofline"]["gflops_f32"]
+                extras_out["sor_roofline"]["pct_of_fma_peak"] = round(
+                    100 * g / extras_out["vpu_peak"]["fma_peak_gflops"], 1)
+                extras_out["sor_roofline"]["pct_of_mix_peak"] = round(
+                    100 * g / extras_out["vpu_peak"]["mix_peak_gflops"], 1)
+            # Evidence chain (VERDICT r3 weak #1/task 2): the LAST stdout
+            # line is the compact headline JSON the driver parses; the bulky
+            # diagnostics go to a sidecar file + stderr so they can never
+            # push the metric out of the driver's tail window.
+            if extras_out:
+                sidecar = REPO / "BENCH_EXTRAS.json"
+                sidecar.write_text(
+                    json.dumps({"headline": result, **extras_out}, indent=2)
+                )
+                log(f"extras -> {sidecar}")
+            print(json.dumps(result), flush=True)
             return
         except Exception as e:  # noqa: BLE001
             signal.alarm(0)

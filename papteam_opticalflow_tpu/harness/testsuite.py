@@ -51,6 +51,20 @@ PROGRESSIONS = {
 }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _stats_jit(vmapped: bool = False):
+    """Jitted divergence-stats function, built ONCE per variant — a fresh
+    ``jax.jit`` wrapper per pair would pay a cache miss + retrace on every
+    call, exactly the host overhead the pipeline hides (ADVICE r3)."""
+    import jax
+
+    fn = jax.vmap(_pair_stats) if vmapped else _pair_stats
+    return jax.jit(fn)
+
+
 def _pair_stats(u, v):
     """Device-side divergence stats for one pair: ``[finite, max_flow]``
     as float32.  Fetching this (2,) vector is the sweep's completion
@@ -72,25 +86,32 @@ def _flow_chw_dispatch(im1_chw, im2_chw, levels: int, params: FlowParams):
     returns an opaque pending handle for ``_flow_chw_resolve``.  Used by
     the pipelined sweep to keep the next pair's program queued while the
     previous one executes, hiding the per-dispatch host latency."""
-    import jax
     import jax.numpy as jnp
 
     from ..models.coarse2fine import coarse2fine_flow_chw
 
-    stats_fn = jax.jit(_pair_stats)
     start = time.perf_counter()
     u, v, _w = coarse2fine_flow_chw(
         jnp.asarray(im1_chw), jnp.asarray(im2_chw), levels, params
     )
-    return start, u, v, stats_fn(u, v)
+    return start, u, v, _stats_jit()(u, v)
 
 
-def _flow_chw_resolve(pending):
+def _flow_chw_resolve(pending, t_prev: float | None = None):
     """Barrier on a pending pair: one small stats fetch (axon ignores
-    block_until_ready).  Returns (timing, u, v, finite, max_flow)."""
+    block_until_ready).  Returns (timing, u, v, finite, max_flow).
+
+    ``t_prev``: the previous pair's resolve timestamp, passed by the
+    pipelined sweep.  In pipeline mode pair k is dispatched while pair
+    k-1 still executes, so dispatch-to-resolve spans ~two executions;
+    the inter-resolve interval is the true steady-state per-pair time
+    (ADVICE r3).  Clamped below by ``start`` so a long host stall
+    between resolves never inflates the row."""
     start, u, v, stats_dev = pending
     stats = np.asarray(stats_dev)
-    elapsed = time.perf_counter() - start
+    now = time.perf_counter()
+    t0 = start if t_prev is None else max(start, t_prev)
+    elapsed = now - t0
     timing = {
         "Total Device Execution": str(elapsed),
         "Total C++ Execution": str(elapsed),
@@ -114,7 +135,7 @@ def _flow_chw_batch(im1s_chw, im2s_chw, levels: int, params: FlowParams):
 
     from ..parallel.batch import mapped_coarse2fine_flow
 
-    stats_fn = jax.jit(jax.vmap(_pair_stats))
+    stats_fn = _stats_jit(vmapped=True)
     start = time.perf_counter()
     u, v, _w = mapped_coarse2fine_flow(
         jnp.asarray(np.stack(im1s_chw)),
@@ -151,9 +172,7 @@ def _flow_chw_mesh(im1s_chw, im2s_chw, levels: int, params: FlowParams, mesh):
     pad = pad_batch_for_mesh(n, n_frame)
     x1 = np.stack(list(im1s_chw) + [im1s_chw[-1]] * pad)
     x2 = np.stack(list(im2s_chw) + [im2s_chw[-1]] * pad)
-    import jax
-
-    stats_fn = jax.jit(jax.vmap(_pair_stats))
+    stats_fn = _stats_jit(vmapped=True)
     start = time.perf_counter()
     u, v, _w = batched_coarse2fine_flow(
         jnp.asarray(x1), jnp.asarray(x2), levels, params, mesh
@@ -332,6 +351,7 @@ def run_sweep(args) -> dict:
 
                 idx = 0
                 pending = None  # pipelined mode: (pair, dispatch handle)
+                last_resolve = None  # previous resolve timestamp (pipeline)
                 while idx < len(todo):
                     group, ims = [], []
                     while idx < len(todo) and len(group) < batch:
@@ -381,9 +401,9 @@ def run_sweep(args) -> dict:
                             )
                             if pending is not None:
                                 p_pair, p_disp = pending
-                                record_pair(
-                                    p_pair, *_flow_chw_resolve(p_disp)
-                                )
+                                res = _flow_chw_resolve(p_disp, last_resolve)
+                                last_resolve = time.perf_counter()
+                                record_pair(p_pair, *res)
                             pending = (group[0], disp)
                         else:
                             timing, u, v, f, m = _flow_chw(
@@ -401,7 +421,7 @@ def run_sweep(args) -> dict:
                             record_pair(pair, timing, u, v, f, m)
                 if pending is not None:  # drain the pipeline tail
                     p_pair, p_disp = pending
-                    record_pair(p_pair, *_flow_chw_resolve(p_disp))
+                    record_pair(p_pair, *_flow_chw_resolve(p_disp, last_resolve))
                     pending = None
                 loader.close()
                 if gif_frames:
@@ -454,9 +474,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", action="store_true",
                    help="depth-1 software pipeline for single-pair sweeps: "
                         "enqueue pair k+1 before waiting on pair k, hiding "
-                        "the per-dispatch host latency (per-pair timing "
-                        "rows stay device-time-accurate; timing_mode tags "
-                        "them 'pipelined')")
+                        "the per-dispatch host latency.  Timing rows report "
+                        "the inter-resolve interval (steady-state per-pair "
+                        "throughput), NOT dispatch-to-completion latency; "
+                        "timing_mode tags them 'pipelined'")
     p.add_argument("--resume", action="store_true",
                    help="skip work items recorded in sweep_manifest.jsonl (or the legacy sweep_manifest.json)")
     p.add_argument("--no-images", action="store_true")

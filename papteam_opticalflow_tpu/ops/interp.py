@@ -412,10 +412,10 @@ def resize_by_ratio(img: jnp.ndarray, ratio: float) -> jnp.ndarray:
 #   810x1440:  135x512/102x768  3.93-4.00 ms  vs 108x640 5.57
 #   607x1080:  104x1152 (full-width) 2.29     vs 108x384 2.50
 #   455x810:   57-114x896 (full-width) 1.33   vs 108x384 2.02
-# Within ~1.1x padding the surface is flat (+-5-10%); bigger windows
-# amortize per-window cost, so ties break toward FEWER, larger column
-# tiles (full-width bands are also exact for ANY horizontal
-# displacement).
+# Within ~1.1x padding the surface is flat (+-5-10%), so the tie-break
+# order in _tile_plan (closest to 640, then smaller widths) is cosmetic;
+# full-width bands, when they win on padding, are also exact for ANY
+# horizontal displacement.
 # Tight/wide window margins (px).  The tight tier must catch real frames:
 # the recorded 1920px P15 oracle flow peaks at 19.1 px in-bounds
 # displacement (tests/fixtures/oracle_1920_P15.npz), so tight = 24; wide
@@ -432,9 +432,12 @@ def _tile_plan(out_h: int, w: int):
     Rows: ~108-row bands by ceil division (padding < n_bands rows).
     Cols: the lane-aligned (multiple-of-128) tile width over 1-4 column
     tiles with the least padded width; ties break to the width closest
-    to the measured 640 sweet spot (reproduces every per-shape winner in
-    tools/exp_tile_plan.py: 640@1920, 512-768@1440, 384/1152@1080,
-    896@810, 640@607).  Tables narrower than 256 use one full tile."""
+    to the measured 640 sweet spot, then to the SMALLER width (more
+    column tiles) — the final ascending ``tc`` key element; measured
+    flat within ~1.1x padding, so the tie direction is cosmetic
+    (reproduces every per-shape winner in tools/exp_tile_plan.py:
+    640@1920, 512-768@1440, 384/1152@1080, 896@810, 640@607).  Tables
+    narrower than 256 use one full tile."""
     nb = max(1, round(out_h / 108))
     tb = -(-out_h // nb)
     if w < 256:

@@ -115,7 +115,11 @@ class TestUnrolledOuterLoop:
         im1, im2 = make_pair(h=48, w=64)
         im1 = im1.astype(jnp.float32)
         im2 = im2.astype(jnp.float32)
-        u0, v0, _ = coarse2fine_flow_chw(im1, im2, 2, FlowParams())
+        # Baseline must FORCE the fori_loop path: with 2 levels n_outer is
+        # 7 and 8, both <= the default threshold 8, so FlowParams() would
+        # also unroll and the comparison would be vacuous (ADVICE r3).
+        p_rolled = dataclasses.replace(FlowParams(), unroll_outer_max_n=0)
+        u0, v0, _ = coarse2fine_flow_chw(im1, im2, 2, p_rolled)
         p = dataclasses.replace(FlowParams(), unroll_outer_max_n=99)
         u1, v1, _ = coarse2fine_flow_chw(im1, im2, 2, p)
         err = np.hypot(
