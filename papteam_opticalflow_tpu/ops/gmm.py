@@ -46,6 +46,36 @@ def init_gmixture(n_channels: int, dtype=jnp.float32) -> GMixtureParams:
     )
 
 
+def save_gmixture(path, para: GMixtureParams) -> None:
+    """Byte-compatible ``GaussianMixture::write`` (``NoiseModel.h:142-161``):
+    little-endian int32 ``nChannels`` followed by the ``alpha``, ``sigma``,
+    ``beta`` arrays as float64 (``sigma_square``/``beta_square`` are derived,
+    not stored — the reference recomputes them via ``square()`` on read)."""
+    import numpy as np
+
+    alpha = np.asarray(para.alpha, np.float64)
+    with open(path, "wb") as f:
+        f.write(np.int32(alpha.size).tobytes())
+        f.write(alpha.tobytes())
+        f.write(np.asarray(para.sigma, np.float64).tobytes())
+        f.write(np.asarray(para.beta, np.float64).tobytes())
+
+
+def load_gmixture(path, dtype=jnp.float64) -> GMixtureParams:
+    """Byte-compatible ``GaussianMixture::read`` (``NoiseModel.h:162-182``)."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        (n,) = np.frombuffer(f.read(4), np.int32)
+        alpha = np.frombuffer(f.read(8 * n), np.float64)
+        sigma = np.frombuffer(f.read(8 * n), np.float64)
+        beta = np.frombuffer(f.read(8 * n), np.float64)
+    return GMixtureParams(
+        jnp.asarray(alpha, dtype), jnp.asarray(sigma, dtype),
+        jnp.asarray(beta, dtype),
+    )
+
+
 def _gaussian(x, scale, scale_sq):
     """``GaussianMixture::Gaussian`` (``NoiseModel.h:118-124``); note the
     reference's (unnormalized-in-1D) ``1 / (2 pi s)`` prefactor."""

@@ -93,6 +93,33 @@ class TestGMixture:
         assert bool(jnp.isfinite(u).all())
         assert float(u[8:-8, 8:-8].mean()) > 0.3
 
+    def test_serialization_bytes_and_roundtrip(self, tmp_path):
+        # GaussianMixture::write (NoiseModel.h:155-161): int32 nChannels
+        # then alpha/sigma/beta as float64; squares NOT stored (read()
+        # recomputes them via square()).  Check the exact byte layout
+        # against a hand-built buffer, then roundtrip.
+        para = gmm.GMixtureParams(
+            alpha=jnp.asarray([0.9, 0.8, 0.7], jnp.float64),
+            sigma=jnp.asarray([0.04, 0.05, 0.06], jnp.float64),
+            beta=jnp.asarray([0.4, 0.5, 0.6], jnp.float64),
+        )
+        path = tmp_path / "gm.bin"
+        gmm.save_gmixture(path, para)
+        want = (
+            np.int32(3).tobytes()
+            + np.asarray(para.alpha, np.float64).tobytes()
+            + np.asarray(para.sigma, np.float64).tobytes()
+            + np.asarray(para.beta, np.float64).tobytes()
+        )
+        assert path.read_bytes() == want
+        back = gmm.load_gmixture(path)
+        for a, b in zip(para, back):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Derived squares match the reference's square() recompute.
+        np.testing.assert_allclose(
+            np.asarray(back.sigma_square), np.asarray(para.sigma) ** 2
+        )
+
 
 class TestBicubicFeedback:
     def test_bicubic_interpolation_mode_runs(self):
