@@ -682,6 +682,105 @@ def bilinear_gather_packed_warp(
     return v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
 
 
+# --- Pallas VPU warp (round 4) -------------------------------------------
+#
+# The serial gather unit costs ~2-3 ns/INDEX no matter how the windows are
+# tiled; the Mosaic kernel in ops/pallas/warp.py resolves the same warp
+# with within-vreg lane gathers (~3 cycles per (8,128) vreg) and replaces
+# the whole sampled computation (gather + bilinear combine + OOB fill) at
+# the big pyramid levels.  "auto" = TPU only; "on" forces admission (CPU
+# tests run it with pallas interpret mode); "off" restores the r3 path.
+_PALLAS_WARP = "auto"
+# Admission floor: below ~2 MB tables the serial full-table gather is
+# already in its fast regime and level times are dominated by SOR; the
+# kernel also needs enough rows for its margin window.
+_PALLAS_WARP_MIN_BYTES = 2 * 2**20
+
+
+def _use_pallas_warp(img: jnp.ndarray) -> bool:
+    if _PALLAS_WARP == "off" or img.ndim != 3:
+        return False
+    if img.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    c, h, w = img.shape
+    from .pallas.warp import _wrc
+
+    big = (
+        c * h * w * jnp.dtype(img.dtype).itemsize >= _PALLAS_WARP_MIN_BYTES
+        and h >= _wrc(_TILE_MARGINS[0], h)
+        and w >= 128
+    )
+    if not big:
+        return False
+    if _PALLAS_WARP == "on":
+        return True
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu"
+
+
+@jax.custom_batching.custom_vmap
+def _warp_pallas_adaptive(im1, im2, vx, vy):
+    """Displacement-adaptive full warp via the Pallas VPU kernel.
+
+    The kernel is exact iff every in-bounds sample's integer VERTICAL
+    displacement is within the window margin (columns are full-width, so
+    any horizontal flow is covered); the bound is measured on device and
+    flows that exceed it fall back to the serial 4-corner gather — an
+    optimization switch, never a semantics change.  (bf16 note: both
+    branches are valid warps but round differently — the kernel
+    accumulates in f32, within 1 bf16 ulp of the serial path and ~2x
+    closer to the f64 truth.)"""
+    from .pallas.warp import warp_bilinear_pallas
+
+    h, w = im2.shape[-2], im2.shape[-1]
+    ftype = jnp.float32
+    vxf = vx.astype(ftype)
+    vyf = vy.astype(ftype)
+    i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    x = jnp.arange(w, dtype=ftype)[None, :] + vxf
+    y = jnp.arange(h, dtype=ftype)[:, None] + vyf
+    oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
+    y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
+    zero = jnp.zeros((), jnp.int32)
+    dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0 - i)))
+    bucket = (dy > _TILE_MARGINS[0]).astype(jnp.int32)
+
+    def pallas_branch(im1, im2, vxf, vyf):
+        return warp_bilinear_pallas(im1, im2, vxf, vyf,
+                                    margin=_TILE_MARGINS[0])
+
+    def serial_branch(im1, im2, vxf, vyf):
+        xx = jnp.arange(w, dtype=ftype)[None, :] + vxf
+        yy = jnp.arange(h, dtype=ftype)[:, None] + vyf
+        bad = (xx < 0) | (xx > w - 1) | (yy < 0) | (yy > h - 1)
+        return jnp.where(bad, im1, bilinear_gather(im2, xx, yy))
+
+    return jax.lax.switch(
+        bucket, [pallas_branch, serial_branch], im1, im2, vxf, vyf
+    )
+
+
+@_warp_pallas_adaptive.def_vmap
+def _warp_pallas_vmap(axis_size, in_batched, im1, im2, vx, vy):
+    # Unroll per batch element: vmap of lax.switch runs ALL branches per
+    # element, and pallas_call does not batch (same pattern as
+    # _make_adaptive_gather).
+    def at(z, batched, i):
+        return z[i] if batched else z
+
+    b1, b2, bx, by = in_batched
+    outs = [
+        _warp_pallas_adaptive(
+            at(im1, b1, i), at(im2, b2, i), at(vx, bx, i), at(vy, by, i)
+        )
+        for i in range(axis_size)
+    ]
+    return jnp.stack(outs), True
+
+
 def should_pack_warp(img: jnp.ndarray) -> bool:
     """Gather-scheme policy for the backward warp, measured on v5e at
     1080x1920: TPU gather throughput collapses once the per-index slice
@@ -711,7 +810,11 @@ def should_prebuild_pack(img: jnp.ndarray) -> bool:
     ``pack_patch2x2`` once: either the packed slice is narrow enough for
     the full-table gather (``should_pack_warp``), or the table is big
     enough that the tile-windowed scheme applies (where wide slices are
-    gathered in narrow chunks)."""
+    gathered in narrow chunks).  When the Pallas VPU warp handles the
+    level, no pack is needed at all (the kernel gathers the raw planes;
+    its rare violent-flow fallback uses the packless 4-corner gather)."""
+    if _use_pallas_warp(img):
+        return False
     if should_pack_warp(img):
         return True
     c = 1 if img.ndim == 2 else img.shape[-3]
@@ -737,6 +840,10 @@ def warp_bilinear(
     schemes produce bit-identical values (the packed shifts pre-apply the
     same corner clamping).
     """
+    # Pallas VPU warp (round 4): replaces the whole sampled computation
+    # (gathers + bilinear combine + OOB fill) on TPU at the big levels.
+    if vx.ndim == 2 and im1.shape == im2.shape and _use_pallas_warp(im2):
+        return _warp_pallas_adaptive(im1, im2, vx, vy)
     h, w = im2.shape[-2], im2.shape[-1]
     ftype = im2.dtype if im2.dtype in (jnp.float32, jnp.float64) else jnp.float32
     j = jnp.arange(w, dtype=ftype)

@@ -1,0 +1,312 @@
+"""VPU bilinear warp kernel (Pallas/Mosaic) — the round-4 warp engine.
+
+Re-implements the hot backward warp (``ImageProcessing.h:495-520``
+``warpImage``: bilinear sample with C-truncation semantics, out-of-bounds
+targets copied from frame 1) as a Mosaic kernel that resolves the gather
+with WITHIN-VREG dynamic lane gathers instead of the serial per-index
+gather unit.
+
+Why: TPU serial gathers cost ~2-3 ns per INDEX regardless of width
+(r2/r3 measurements, ``tools/gather_floor.py``); three rounds of window
+tiling got the engine to ~3.2 ns/idx and the warp still dominated the
+pair (146 of 291 ms at 1920px P15, VERDICT r3).  Mosaic's
+``tpu.DynamicGatherOp`` (``jnp.take_along_axis`` along a single-vreg
+dimension) instead gathers a full (8, 128) vreg in ~3 cycles — ~650x
+denser.  The catch: the gather dimension must fit one vreg (lanes == 128),
+so the 2-D warp gather is decomposed into
+
+  * a dynamic CANDIDATE-ROW loop: within a row strip, the integer
+    vertical displacement ``y0 - i`` varies by only Δ (median 1 px,
+    p90 3-7 on the recorded 1920px oracle flow), so source rows are
+    covered by ``Δ+2`` shifted window slices (``d`` loop, data-derived
+    trip count via in-kernel min/max reductions);
+  * per 128-column block, a dynamic loop over the 1-3 aligned source
+    column blocks spanned by ``x0``/``x1``, each resolved with one lane
+    gather + masked-weight accumulate.
+
+Strip windows are DMA'd HBM→VMEM (double-buffered) from the raw ``im2``
+planes — the 4C patch pack of the serial-gather scheme is NOT needed
+(corner (x0+1, y0+1) samples come from ``idx+1`` lane gathers and the
+``d`` loop).  bf16 image planes are up-converted to f32 in VMEM once per
+strip; the bilinear combine runs in f32 and rounds once on output (the
+XLA bf16 path multiplies bf16 weights — the kernel is the MORE accurate
+of the two; the f32 path is bit-exact vs ``ops/interp.bilinear_gather``).
+
+Exactness contract: the kernel is exact when every in-bounds sample's
+integer vertical displacement satisfies ``|y0 - i| <= margin`` (window
+content coverage).  Callers wrap it in the same displacement-adaptive
+``lax.switch`` as the r3 tiled scheme (``ops/interp``), falling back to
+the serial-gather paths for violent flows, so semantics never change.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Output strip rows per grid step.  8 keeps the candidate-row loop trip
+# count minimal (d spans the within-strip displacement variation, median
+# 1 on real flows); larger strips amortize per-strip overhead (window
+# up-convert, DMA issue) over more pixels at slightly larger d ranges.
+TB = 32
+# Top ghost rows: must cover TB-1 rows of negative candidate offset at
+# the image top, rounded to sublane alignment.
+_G = -(-(TB - 1) // 8) * 8
+
+# Interpret-mode escape hatch for CPU tests.
+_INTERPRET = False
+
+
+def _wrc(margin: int, h: int = 0) -> int:
+    """Window CONTENT rows: strip + one-sided margins + the y0+1 corner
+    row, rounded to a multiple of 8 plus 8 rows of base-flooring slack —
+    Mosaic requires BOTH the start and the LENGTH of HBM DMA slices to be
+    sublane-aligned, so the window is a constant 8-multiple and ``im2``
+    is row-padded to a multiple of 8 instead (``h`` is unused, kept for
+    the admission callers' convenience)."""
+    return -(-(TB + 2 * margin + 2) // 8) * 8 + 8
+
+
+def _alloc_rows(margin: int) -> int:
+    """Scratch rows: ghosts + content + aligned-load overrun room (the
+    candidate loader reads an aligned TB+8-row block and rolls)."""
+    wrc = _wrc(margin)
+    return _G + ((wrc - 1) // 8) * 8 + TB + 8
+
+
+def window_bases(h: int, margin: int):
+    """STATIC per-strip DMA base rows (no flow dependence — coverage for
+    ``|y0 - i| <= margin`` is the bucket guarantee): strip start minus
+    margin, clamped into the 8-padded image, floored to sublane
+    alignment.  ``h8 - wrc`` is 8-aligned by construction, so the floor
+    never undercuts bottom-row coverage."""
+    import numpy as np
+
+    wrc = _wrc(margin)
+    h8 = -(-h // 8) * 8
+    ns = -(-h // TB)
+    strip0 = np.arange(ns, dtype=np.int64) * TB
+    return (np.clip(strip0 - margin, 0, max(h8 - wrc, 0)) // 8 * 8).astype(
+        np.int32
+    )
+
+
+def _warp_kernel(
+    c: int, h: int, w: int, wp: int, margin: int, out_dtype,
+    bases_ref,                     # scalar-prefetch (NS,) int32
+    im2_hbm,                       # (C, H, W) image dtype, stays in HBM
+    vx_ref, vy_ref,                # (TB, Wp) f32 strip blocks
+    im1_ref,                       # (C, TB, Wp) image-dtype strip block
+    out_ref,                       # (C, TB, Wp) image-dtype strip block
+    land_ref,                      # (2, C, WRC, Wp) image-dtype DMA landing
+    win_ref,                       # (C, ALLOC, Wp) f32 gather window
+    acc_ref,                       # (C, TB, 128) f32 accumulator
+    sem,                           # DMA semaphores (2,)
+):
+    wrc = _wrc(margin)
+    alloc = _alloc_rows(margin)
+    s = pl.program_id(0)
+    ns = pl.num_programs(0)
+
+    def dma(slot, strip):
+        base = pl.multiple_of(bases_ref[strip], 8)
+        return pltpu.make_async_copy(
+            im2_hbm.at[:, pl.ds(base, wrc), :],
+            land_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(s == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(s + 1 < ns)
+    def _():
+        dma((s + 1) % 2, s + 1).start()
+
+    dma(s % 2, s).wait()
+
+    # Up-convert this strip's window to f32 once; top-ghost offset _G
+    # places content rows at scratch rows [_G, _G + wrc).
+    win_ref[:, 0:_G, :] = jnp.zeros_like(win_ref[:, 0:_G, :])
+    win_ref[:, _G + wrc:, :] = jnp.zeros_like(win_ref[:, _G + wrc:, :])
+    win_ref[:, _G:_G + wrc, :] = land_ref[s % 2].astype(jnp.float32)
+
+    base = bases_ref[s]
+    strip0 = s * TB
+
+    fi = jax.lax.broadcasted_iota(jnp.int32, (TB, wp), 0)
+    fj = jax.lax.broadcasted_iota(jnp.int32, (TB, wp), 1)
+    x = fj.astype(jnp.float32) + vx_ref[:]
+    y = (fi + strip0).astype(jnp.float32) + vy_ref[:]
+    oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
+    xx = jnp.trunc(x)
+    yy = jnp.trunc(y)
+    fx = jnp.clip(x - xx, 0.0, 1.0)
+    fy = jnp.clip(y - yy, 0.0, 1.0)
+    x0 = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    # Candidate row offsets: source row y0 sits at window-content offset
+    # y0 - base; candidate ``d`` covers rows [base + d + i].  OOB pixels'
+    # clamped coordinates would blow the data-derived loop ranges up, so
+    # neutralize them (their accumulate is discarded by the final oob
+    # select anyway).
+    neutral_r = strip0 - base
+    r0 = jnp.where(oob, neutral_r, y0 - base - fi)
+    r1 = jnp.where(oob, neutral_r, y1 - base - fi)
+    xn = jnp.clip(fj, 0, w - 1)
+    x0n = jnp.where(oob, xn, x0)
+    x1n = jnp.where(oob, xn, x1)
+
+    # Per 128-column output block: ONE dynamic fori over candidate row
+    # offsets (the data-dependent part — trip count == within-strip
+    # displacement variation + 2, median ~3); the column side is fully
+    # static.  With margin < 104, samples for block jv can only come from
+    # aligned source blocks jv-1 / jv / jv+1 (span <= 128 + 2*margin + 1
+    # < 384), so the cb loop unrolls into three predicated bodies gated
+    # by cheap scalar any-pixel-needs-it flags — dynamic while-loops were
+    # the dominant overhead of the first cut (nested d x cb whiles
+    # measured 1.5-2x slower than this structure).
+    assert margin < 104, "3-block column decomposition needs margin < 104"
+    nj = wp // 128
+    for jv in range(nj):
+        sl = slice(jv * 128, (jv + 1) * 128)
+        fxs, fys = fx[:, sl], fy[:, sl]
+        x0s, x1s = x0n[:, sl], x1n[:, sl]
+        r0s, r1s = r0[:, sl], r1[:, sl]
+        dlo = jnp.maximum(jnp.min(r0s), -_G)
+        dhi = jnp.minimum(jnp.max(r1s), wrc - 1)
+        need_left = jnp.min(x0s) < jv * 128
+        need_right = jnp.max(x1s) >= (jv + 1) * 128
+        one_m_fx = 1.0 - fxs
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def dbody(d, carry):
+            wy = jnp.where(r0s == d, 1.0 - fys, 0.0) + jnp.where(
+                r1s == d, fys, 0.0
+            )
+            dd = d + _G  # scratch-local (top ghost offset)
+            k = pl.multiple_of((dd // 8) * 8, 8)
+            rshift = dd % 8
+
+            def accumulate(cb):
+                w0 = jnp.where((x0s // 128) == cb, one_m_fx * wy, 0.0)
+                w1 = jnp.where((x1s // 128) == cb, fxs * wy, 0.0)
+                lx0 = jnp.clip(x0s - cb * 128, 0, 127)
+                lx1 = jnp.clip(x1s - cb * 128, 0, 127)
+                for ch in range(c):
+                    blk = win_ref[ch, pl.ds(k, TB + 8), cb * 128:(cb + 1) * 128]
+                    blk = pltpu.roll(blk, (-rshift) % (TB + 8), 0)
+                    src = blk[0:TB, :]
+                    g0 = jnp.take_along_axis(src, lx0, axis=-1)
+                    g1 = jnp.take_along_axis(src, lx1, axis=-1)
+                    acc_ref[ch] = acc_ref[ch] + w0 * g0 + w1 * g1
+
+            # Ascending cb keeps the accumulate order of the serial path
+            # (x0 contributions before x1 within each candidate row).
+            if jv > 0:
+                @pl.when(need_left)
+                def _():
+                    accumulate(jv - 1)
+            accumulate(jv)
+            if jv + 1 < nj:
+                @pl.when(need_right)
+                def _():
+                    accumulate(jv + 1)
+            return carry
+
+        jax.lax.fori_loop(dlo, dhi + 1, dbody, 0)
+        for ch in range(c):
+            out_ref[ch, :, sl] = jnp.where(
+                oob[:, sl], im1_ref[ch, :, sl], acc_ref[ch].astype(out_dtype)
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def warp_bilinear_pallas(im1, im2, vx, vy, margin: int = 24):
+    """Full backward warp (``warpImage`` semantics) via the VPU kernel.
+
+    ``im1``, ``im2``: ``(C, H, W)``; ``vx``, ``vy``: ``(H, W)``.  EXACT
+    (f32: bit-exact; bf16: f32-accumulated, <= 1 bf16 ulp vs the XLA
+    path) iff every in-bounds sample satisfies ``|trunc(y) - i| <=
+    margin``; wrap in the displacement-adaptive switch for arbitrary
+    flows (``ops/interp.warp_bilinear``)."""
+    c, h, w = im2.shape
+    ns = -(-h // TB)
+    hp = ns * TB
+    wp = -(-w // 128) * 128
+    h8 = -(-h // 8) * 8
+    wrc = _wrc(margin)
+    alloc = _alloc_rows(margin)
+    if h < wrc:
+        raise ValueError(
+            f"warp_bilinear_pallas: image height {h} < window {wrc} rows "
+            f"(margin {margin}) — gate with supports_pallas_warp()"
+        )
+
+    def pad(a, rows, cols):
+        if rows == a.shape[-2] and cols == a.shape[-1]:
+            return a
+        cfg = [(0, 0)] * (a.ndim - 2) + [
+            (0, rows - a.shape[-2]), (0, cols - a.shape[-1])
+        ]
+        return jnp.pad(a, cfg)
+
+    vx_p = pad(vx.astype(jnp.float32), hp, wp)
+    vy_p = pad(vy.astype(jnp.float32), hp, wp)
+    im1_p = pad(im1, hp, wp)
+    # Mosaic HBM DMA slices need sublane-aligned row starts/lengths and
+    # lane-aligned widths; pad im2 to (ceil8 rows, ceil128 cols) with
+    # zeros (only ever touched through zero-weight masked lanes, and the
+    # full-width DMA then fills the landing buffer completely — no ghost
+    # hygiene needed there).  No-op at the aligned levels.
+    im2_p = pad(im2, h8, wp) if (h8 != h or wp != w) else im2
+    bases = jnp.asarray(window_bases(h, margin))
+
+    kernel = functools.partial(
+        _warp_kernel, c, h, w, wp, margin, im2.dtype
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ns,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # im2 in HBM
+            pl.BlockSpec((TB, wp), lambda s, b: (s, 0)),
+            pl.BlockSpec((TB, wp), lambda s, b: (s, 0)),
+            pl.BlockSpec((c, TB, wp), lambda s, b: (0, s, 0)),
+        ],
+        out_specs=pl.BlockSpec((c, TB, wp), lambda s, b: (0, s, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, wrc, wp), im2.dtype),
+            pltpu.VMEM((c, alloc, wp), jnp.float32),
+            pltpu.VMEM((c, TB, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    vmem_bytes = (
+        2 * c * wrc * wp * im2.dtype.itemsize
+        + alloc * c * wp * 4
+        + 3 * c * TB * wp * im2.dtype.itemsize
+        + 2 * TB * wp * 4
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), im2.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes * 2.5) + 2 * 2**20, 100 * 2**20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * c * hp * wp,
+            bytes_accessed=(2 * c + 3) * hp * wp * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(bases, im2_p, vx_p, vy_p, im1_p)
+    return out[:, :h, :w]
