@@ -48,10 +48,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Output strip rows per grid step.  8 keeps the candidate-row loop trip
-# count minimal (d spans the within-strip displacement variation, median
-# 1 on real flows); larger strips amortize per-strip overhead (window
-# up-convert, DMA issue) over more pixels at slightly larger d ranges.
+# Output strip rows per grid step: larger strips amortize per-strip
+# overhead (window up-convert, DMA issue, per-jv reductions) over more
+# pixels at slightly larger candidate-row ranges.  Measured on v5e at
+# 1080x1920 5ch bf16 on the recorded oracle flow: 16->1.89, 24->1.63,
+# 32->1.75, 40->1.44, 48->1.52, 64->1.59 ms/warp — but in the FULL pair
+# (all level shapes, in-context flows) 32 beats 40 by ~1.5 ms/pair
+# (175.6 vs 177.1 at 1920px P15), so 32 ships.
 TB = 32
 # Top ghost rows: must cover TB-1 rows of negative candidate offset at
 # the image top, rounded to sublane alignment.
