@@ -7,13 +7,20 @@ derivative images from the central-difference filter ``[-0.5, 0, 0.5]``
 out-of-bounds targets copied from the reference frame.  The final clamp to
 ``[0, 1]`` is ``Image<T>::threshold`` (``Image.h:2090-2108``).
 
-The per-pixel coefficient solve is expressed as two constant 4x4 basis
-matmuls (``a = M G M^T``) over a gathered corner tensor, which XLA lowers to
-fused vector code — no scalar loops.
+Two lowerings of the same math:
+
+* serial — the 16 stencil values pack into one gathered row per pixel
+  (``pack_patch2x2``) and the coefficient solve runs as two constant 4x4
+  basis matmuls (``a = M G M^T``), fused by XLA;
+* Pallas VPU (round 4, TPU big levels) — ``ops/pallas/warp.py``'s
+  candidate-row kernel gathers the 4 stencil planes directly (no 16C
+  pack) and fuses the Hermite combine in-kernel, with the serial path as
+  the displacement-adaptive violent-flow fallback.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,50 +41,24 @@ _HERMITE_M = np.array(
 )
 
 
-def warp_bicubic_ref(
-    ref: jnp.ndarray,
-    im2: jnp.ndarray,
-    vx: jnp.ndarray,
-    vy: jnp.ndarray,
-    table_dtype=None,
-) -> jnp.ndarray:
-    """Bicubic backward warp of ``im2`` by flow ``(vx, vy)``; out-of-bounds
-    targets copy ``ref`` (``Image.h:2687-2768``).
-
-    ``ref``, ``im2``: ``(..., H, W)``; ``vx``, ``vy``: ``(H, W)``.
-    ``table_dtype``: optional storage dtype for the gathered stencil table
-    (e.g. bf16 halves the gather bytes on the bf16 image path; the Hermite
-    evaluation stays in the image dtype).
-    """
-    h, w = im2.shape[-2], im2.shape[-1]
-    dtype = im2.dtype
-
-    imdx = correlate1d(im2, CENTRAL_DIFF_3TAP, axis=-1)
-    imdy = correlate1d(im2, CENTRAL_DIFF_3TAP, axis=-2)
-    imdxdy = correlate1d(imdx, CENTRAL_DIFF_3TAP, axis=-2)
-
+def _serial_hermite(ref, stack4, vx, vy, dtype):
+    """Gather-based Hermite evaluation on 3-D operands: ``ref`` (C, H, W)
+    fill frame, ``stack4`` (4C, H, W) stencil planes ``[f, fx, fy, fxy]``.
+    ``dtype``: the Hermite evaluation dtype (the image dtype — the table
+    may be stored narrower, see ``table_dtype``)."""
+    c4, h, w = stack4.shape
+    c = c4 // 4
     ftype = dtype if dtype in (jnp.float32, jnp.float64) else jnp.float32
     j = jnp.arange(w, dtype=ftype)
     i = jnp.arange(h, dtype=ftype)
     x = j[None, :] + vx.astype(ftype)
     y = i[:, None] + vy.astype(ftype)
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
-
     x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
     fx = (x - x0.astype(ftype)).astype(dtype)
     fy = (y - y0.astype(ftype)).astype(dtype)
 
-    # All 16 stencil values (4 corners x {f, fx, fy, fxy}) for every channel
-    # are packed into one row per pixel: TPU gather cost is per-INDEX, so a
-    # single wide gather replaces 16 corner gathers (see pack_patch2x2).
-    im2_, imdx_, imdy_, imdxdy_ = (
-        a[None] if a.ndim == 2 else a for a in (im2, imdx, imdy, imdxdy)
-    )
-    c = im2_.shape[-3]
-    stack4 = jnp.concatenate([im2_, imdx_, imdy_, imdxdy_], axis=-3)  # (4C,H,W)
-    if table_dtype is not None:
-        stack4 = stack4.astype(table_dtype)
     pack16 = pack_patch2x2(stack4)  # (16C, H, W): [p00(4C), p10, p01, p11]
     # One gather per CORNER block (4C channels each) instead of a single
     # 16C-wide gather: measured on v5e at 1080x1920x3ch f32, the corner
@@ -103,8 +84,7 @@ def warp_bicubic_ref(
 
     def part(corner, field):
         start = corner * 4 * c + field * c
-        sl = patch[start : start + c]
-        return sl[0] if im2.ndim == 2 else sl
+        return patch[start : start + c]
 
     f00, f10, f01, f11 = (part(k, 0) for k in range(4))
     gx00, gx10, gx01, gx11 = (part(k, 1) for k in range(4))
@@ -129,7 +109,92 @@ def warp_bicubic_ref(
     py = jnp.stack([one, fy, fy * fy, fy * fy * fy], axis=-1)
     val = jnp.einsum("...i,...ij,...j->...", px, a, py)
 
-    return jnp.where(oob, ref, val)
+    return jnp.where(oob, ref, val.astype(ref.dtype))
+
+
+@jax.custom_batching.custom_vmap
+def _bicubic_pallas_adaptive(ref, stack4, vx, vy):
+    """Displacement-adaptive Hermite warp via the Pallas VPU kernel; the
+    serial gather path handles flows beyond the window margin (same
+    contract as ``interp._warp_pallas_adaptive``)."""
+    from .interp import _TILE_MARGINS
+    from .pallas.warp import warp_bicubic_pallas
+
+    c4, h, w = stack4.shape
+    i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    x = jnp.arange(w, dtype=jnp.float32)[None, :] + vx
+    y = jnp.arange(h, dtype=jnp.float32)[:, None] + vy
+    oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
+    y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
+    zero = jnp.zeros((), jnp.int32)
+    dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0 - i)))
+    bucket = (dy > _TILE_MARGINS[0]).astype(jnp.int32)
+
+    def pallas_branch(ref, stack4, vx, vy):
+        return warp_bicubic_pallas(ref, stack4, vx, vy,
+                                   margin=_TILE_MARGINS[0])
+
+    def serial_branch(ref, stack4, vx, vy):
+        return _serial_hermite(ref, stack4, vx, vy, ref.dtype)
+
+    return jax.lax.switch(
+        bucket, [pallas_branch, serial_branch], ref, stack4, vx, vy
+    )
+
+
+@_bicubic_pallas_adaptive.def_vmap
+def _bicubic_pallas_vmap(axis_size, in_batched, ref, stack4, vx, vy):
+    def at(z, batched, i):
+        return z[i] if batched else z
+
+    br, bs, bx, by = in_batched
+    outs = [
+        _bicubic_pallas_adaptive(
+            at(ref, br, i), at(stack4, bs, i), at(vx, bx, i), at(vy, by, i)
+        )
+        for i in range(axis_size)
+    ]
+    return jnp.stack(outs), True
+
+
+def warp_bicubic_ref(
+    ref: jnp.ndarray,
+    im2: jnp.ndarray,
+    vx: jnp.ndarray,
+    vy: jnp.ndarray,
+    table_dtype=None,
+) -> jnp.ndarray:
+    """Bicubic backward warp of ``im2`` by flow ``(vx, vy)``; out-of-bounds
+    targets copy ``ref`` (``Image.h:2687-2768``).
+
+    ``ref``, ``im2``: ``(..., H, W)``; ``vx``, ``vy``: ``(H, W)``.
+    ``table_dtype``: optional storage dtype for the gathered stencil table
+    (e.g. bf16 halves the gather bytes on the bf16 image path; the Hermite
+    evaluation stays in the image dtype).
+    """
+    dtype = im2.dtype
+
+    imdx = correlate1d(im2, CENTRAL_DIFF_3TAP, axis=-1)
+    imdy = correlate1d(im2, CENTRAL_DIFF_3TAP, axis=-2)
+    imdxdy = correlate1d(imdx, CENTRAL_DIFF_3TAP, axis=-2)
+
+    im2_, imdx_, imdy_, imdxdy_ = (
+        a[None] if a.ndim == 2 else a for a in (im2, imdx, imdy, imdxdy)
+    )
+    stack4 = jnp.concatenate([im2_, imdx_, imdy_, imdxdy_], axis=-3)  # (4C,H,W)
+    if table_dtype is not None:
+        stack4 = stack4.astype(table_dtype)
+
+    ref_ = ref[None] if ref.ndim == 2 else ref
+    from .interp import _use_pallas_warp
+
+    if vx.ndim == 2 and _use_pallas_warp(stack4):
+        out = _bicubic_pallas_adaptive(
+            ref_, stack4, vx.astype(jnp.float32), vy.astype(jnp.float32)
+        )
+    else:
+        out = _serial_hermite(ref_, stack4, vx, vy, dtype)
+    return out[0] if ref.ndim == 2 else out
 
 
 def threshold01(x: jnp.ndarray) -> jnp.ndarray:

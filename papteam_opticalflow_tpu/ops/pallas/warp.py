@@ -98,27 +98,19 @@ def window_bases(h: int, margin: int):
     )
 
 
-def _warp_kernel(
-    c: int, h: int, w: int, wp: int, margin: int, out_dtype,
-    bases_ref,                     # scalar-prefetch (NS,) int32
-    im2_hbm,                       # (C, H, W) image dtype, stays in HBM
-    vx_ref, vy_ref,                # (TB, Wp) f32 strip blocks
-    im1_ref,                       # (C, TB, Wp) image-dtype strip block
-    out_ref,                       # (C, TB, Wp) image-dtype strip block
-    land_ref,                      # (2, C, WRC, Wp) image-dtype DMA landing
-    win_ref,                       # (C, ALLOC, Wp) f32 gather window
-    acc_ref,                       # (C, TB, 128) f32 accumulator
-    sem,                           # DMA semaphores (2,)
-):
-    wrc = _wrc(margin)
-    alloc = _alloc_rows(margin)
+def _window_pipeline(bases_ref, src_hbm, land_ref, win_ref, sem, wrc):
+    """Double-buffered HBM->VMEM strip-window DMA + one f32 up-convert.
+
+    Content rows land at scratch rows [_G, _G + wrc) (top ghost for
+    negative candidate offsets; ghosts zeroed so masked zero-weight
+    lanes never multiply non-finite garbage)."""
     s = pl.program_id(0)
     ns = pl.num_programs(0)
 
     def dma(slot, strip):
         base = pl.multiple_of(bases_ref[strip], 8)
         return pltpu.make_async_copy(
-            im2_hbm.at[:, pl.ds(base, wrc), :],
+            src_hbm.at[:, pl.ds(base, wrc), :],
             land_ref.at[slot],
             sem.at[slot],
         )
@@ -132,16 +124,18 @@ def _warp_kernel(
         dma((s + 1) % 2, s + 1).start()
 
     dma(s % 2, s).wait()
-
-    # Up-convert this strip's window to f32 once; top-ghost offset _G
-    # places content rows at scratch rows [_G, _G + wrc).
     win_ref[:, 0:_G, :] = jnp.zeros_like(win_ref[:, 0:_G, :])
     win_ref[:, _G + wrc:, :] = jnp.zeros_like(win_ref[:, _G + wrc:, :])
     win_ref[:, _G:_G + wrc, :] = land_ref[s % 2].astype(jnp.float32)
 
-    base = bases_ref[s]
-    strip0 = s * TB
 
+def _coord_fields(h, w, wp, vx_ref, vy_ref, base, strip0, clip01):
+    """Shared warp coordinate fields on the (TB, Wp) strip, mirroring the
+    serial paths' f32 arithmetic (``ops/interp``/``ops/bicubic``).
+    ``clip01``: bilinear clamps the fractions into [0, 1]
+    (``ImageProcessing.h:146-147``); the bicubic uses the raw ``x - x0``
+    with the CLIPPED base (``Image.h:2698-2701``) — identical in-bounds,
+    different only at discarded OOB pixels."""
     fi = jax.lax.broadcasted_iota(jnp.int32, (TB, wp), 0)
     fj = jax.lax.broadcasted_iota(jnp.int32, (TB, wp), 1)
     x = fj.astype(jnp.float32) + vx_ref[:]
@@ -149,12 +143,16 @@ def _warp_kernel(
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
     xx = jnp.trunc(x)
     yy = jnp.trunc(y)
-    fx = jnp.clip(x - xx, 0.0, 1.0)
-    fy = jnp.clip(y - yy, 0.0, 1.0)
     x0 = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
     y0 = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
+    if clip01:
+        fx = jnp.clip(x - xx, 0.0, 1.0)
+        fy = jnp.clip(y - yy, 0.0, 1.0)
+    else:
+        fx = x - x0.astype(jnp.float32)
+        fy = y - y0.astype(jnp.float32)
     # Candidate row offsets: source row y0 sits at window-content offset
     # y0 - base; candidate ``d`` covers rows [base + d + i].  OOB pixels'
     # clamped coordinates would blow the data-derived loop ranges up, so
@@ -166,6 +164,29 @@ def _warp_kernel(
     xn = jnp.clip(fj, 0, w - 1)
     x0n = jnp.where(oob, xn, x0)
     x1n = jnp.where(oob, xn, x1)
+    return oob, fx, fy, x0n, x1n, r0, r1
+
+
+def _warp_kernel(
+    c: int, h: int, w: int, wp: int, margin: int, out_dtype,
+    bases_ref,                     # scalar-prefetch (NS,) int32
+    im2_hbm,                       # (C, H, W) image dtype, stays in HBM
+    vx_ref, vy_ref,                # (TB, Wp) f32 strip blocks
+    im1_ref,                       # (C, TB, Wp) image-dtype strip block
+    out_ref,                       # (C, TB, Wp) image-dtype strip block
+    land_ref,                      # (2, C, WRC, Wp) image-dtype DMA landing
+    win_ref,                       # (C, ALLOC, Wp) f32 gather window
+    acc_ref,                       # (C, TB, 128) f32 accumulator
+    sem,                           # DMA semaphores (2,)
+):
+    wrc = _wrc(margin)
+    s = pl.program_id(0)
+    _window_pipeline(bases_ref, im2_hbm, land_ref, win_ref, sem, wrc)
+    base = bases_ref[s]
+    strip0 = s * TB
+    oob, fx, fy, x0n, x1n, r0, r1 = _coord_fields(
+        h, w, wp, vx_ref, vy_ref, base, strip0, clip01=True
+    )
 
     # Per 128-column output block: ONE dynamic fori over candidate row
     # offsets (the data-dependent part — trip count == within-strip
@@ -312,4 +333,203 @@ def warp_bilinear_pallas(im1, im2, vx, vy, margin: int = 24):
         ),
         interpret=_INTERPRET,
     )(bases, im2_p, vx_p, vy_p, im1_p)
+    return out[:, :h, :w]
+
+
+def _bicubic_kernel(
+    c: int, h: int, w: int, wp: int, margin: int, out_dtype,
+    bases_ref,                     # scalar-prefetch (NS,) int32
+    stack_hbm,                     # (4C, H, W) stencil table, stays in HBM
+    vx_ref, vy_ref,                # (TB, Wp) f32 strip blocks
+    ref_ref,                       # (C, TB, Wp) fill-frame strip block
+    out_ref,                       # (C, TB, Wp) strip block
+    land_ref,                      # (2, 4C, WRC, Wp) table-dtype DMA landing
+    win_ref,                       # (4C, ALLOC, Wp) f32 gather window
+    acc_ref,                       # (C, TB, 128) f32 accumulator
+    sem,                           # DMA semaphores (2,)
+):
+    """Hermite bicubic warp (``Image.h:2650-2768`` ``warpImageBicubicRef``)
+    on the candidate-row machinery of ``_warp_kernel``.
+
+    ``val = hx . G . hy`` with ``hx/hy`` the cubic Hermite basis at the
+    fractional offsets and ``G`` the 16 stencil values — 4 planes
+    ``[f, f_x, f_y, f_xy]`` (the ``stack4`` built by
+    ``ops/bicubic.warp_bicubic_ref``) at the 2x2 corner positions.  Per
+    candidate (d, cb): 8 combined weight fields (plane x x-corner), then
+    per image channel 4 plane-gather pairs + FMAs."""
+    wrc = _wrc(margin)
+    s = pl.program_id(0)
+    _window_pipeline(bases_ref, stack_hbm, land_ref, win_ref, sem, wrc)
+    base = bases_ref[s]
+    strip0 = s * TB
+    oob, fx, fy, x0n, x1n, r0, r1 = _coord_fields(
+        h, w, wp, vx_ref, vy_ref, base, strip0, clip01=False
+    )
+    # Cubic Hermite basis (rows of px @ _HERMITE_M, ops/bicubic.py).
+    def hermite(t):
+        t2 = t * t
+        t3 = t2 * t
+        return (1 - 3 * t2 + 2 * t3, 3 * t2 - 2 * t3,
+                t - 2 * t2 + t3, -t2 + t3)
+
+    hx = hermite(fx)
+    hy = hermite(fy)
+
+    assert margin < 104, "3-block column decomposition needs margin < 104"
+    nj = wp // 128
+    for jv in range(nj):
+        sl = slice(jv * 128, (jv + 1) * 128)
+        hxs = [hh[:, sl] for hh in hx]
+        hys = [hh[:, sl] for hh in hy]
+        x0s, x1s = x0n[:, sl], x1n[:, sl]
+        r0s, r1s = r0[:, sl], r1[:, sl]
+        dlo = jnp.maximum(jnp.min(r0s), -_G)
+        dhi = jnp.minimum(jnp.max(r1s), wrc - 1)
+        need_left = jnp.min(x0s) < jv * 128
+        need_right = jnp.max(x1s) >= (jv + 1) * 128
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def dbody(d, carry):
+            a0 = r0s == d
+            a1 = r1s == d
+            # Per-fieldy row weights: hy[2*fy_ + yc] masked by yc match.
+            wyf = [
+                jnp.where(a0, hys[0], 0.0) + jnp.where(a1, hys[1], 0.0),
+                jnp.where(a0, hys[2], 0.0) + jnp.where(a1, hys[3], 0.0),
+            ]
+            dd = d + _G
+            k = pl.multiple_of((dd // 8) * 8, 8)
+            rshift = dd % 8
+
+            def accumulate(cb):
+                m0 = (x0s // 128) == cb
+                m1 = (x1s // 128) == cb
+                lx0 = jnp.clip(x0s - cb * 128, 0, 127)
+                lx1 = jnp.clip(x1s - cb * 128, 0, 127)
+                # w[fieldx][fieldy][xc]
+                wc = [
+                    [
+                        [
+                            jnp.where(m0, hxs[2 * fx_ + 0], 0.0) * wyf[fy_],
+                            jnp.where(m1, hxs[2 * fx_ + 1], 0.0) * wyf[fy_],
+                        ]
+                        for fy_ in range(2)
+                    ]
+                    for fx_ in range(2)
+                ]
+                for ch in range(c):
+                    for fy_ in range(2):
+                        for fx_ in range(2):
+                            plane = (fx_ + 2 * fy_) * c + ch
+                            blk = win_ref[
+                                plane, pl.ds(k, TB + 8),
+                                cb * 128:(cb + 1) * 128,
+                            ]
+                            blk = pltpu.roll(blk, (-rshift) % (TB + 8), 0)
+                            src = blk[0:TB, :]
+                            g0 = jnp.take_along_axis(src, lx0, axis=-1)
+                            g1 = jnp.take_along_axis(src, lx1, axis=-1)
+                            acc_ref[ch] = (
+                                acc_ref[ch]
+                                + wc[fx_][fy_][0] * g0
+                                + wc[fx_][fy_][1] * g1
+                            )
+
+            if jv > 0:
+                @pl.when(need_left)
+                def _():
+                    accumulate(jv - 1)
+            accumulate(jv)
+            if jv + 1 < nj:
+                @pl.when(need_right)
+                def _():
+                    accumulate(jv + 1)
+            return carry
+
+        jax.lax.fori_loop(dlo, dhi + 1, dbody, 0)
+        for ch in range(c):
+            out_ref[ch, :, sl] = jnp.where(
+                oob[:, sl], ref_ref[ch, :, sl], acc_ref[ch].astype(out_dtype)
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def warp_bicubic_pallas(ref, stack4, vx, vy, margin: int = 24):
+    """Hermite bicubic backward warp via the VPU kernel.
+
+    ``ref``: ``(C, H, W)`` fill frame (OOB targets copy it); ``stack4``:
+    ``(4C, H, W)`` stencil table ``[f, f_x, f_y, f_xy]`` (channel-major
+    per plane, as built by ``ops/bicubic.warp_bicubic_ref``); ``vx``,
+    ``vy``: ``(H, W)``.  Output dtype == ``ref.dtype`` (the Hermite
+    evaluation runs in f32 regardless of the table dtype).  Exact under
+    the same ``|trunc(y) - i| <= margin`` contract as the bilinear
+    kernel."""
+    c, h, w = ref.shape
+    c4 = stack4.shape[0]
+    assert c4 == 4 * c, (c4, c)
+    ns = -(-h // TB)
+    hp = ns * TB
+    wp = -(-w // 128) * 128
+    h8 = -(-h // 8) * 8
+    wrc = _wrc(margin)
+    alloc = _alloc_rows(margin)
+    if h < wrc:
+        raise ValueError(
+            f"warp_bicubic_pallas: image height {h} < window {wrc} rows"
+        )
+
+    def pad(a, rows, cols):
+        if rows == a.shape[-2] and cols == a.shape[-1]:
+            return a
+        cfg = [(0, 0)] * (a.ndim - 2) + [
+            (0, rows - a.shape[-2]), (0, cols - a.shape[-1])
+        ]
+        return jnp.pad(a, cfg)
+
+    vx_p = pad(vx.astype(jnp.float32), hp, wp)
+    vy_p = pad(vy.astype(jnp.float32), hp, wp)
+    ref_p = pad(ref, hp, wp)
+    stack_p = pad(stack4, h8, wp) if (h8 != h or wp != w) else stack4
+    bases = jnp.asarray(window_bases(h, margin))
+
+    kernel = functools.partial(
+        _bicubic_kernel, c, h, w, wp, margin, ref.dtype
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ns,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # table in HBM
+            pl.BlockSpec((TB, wp), lambda s, b: (s, 0)),
+            pl.BlockSpec((TB, wp), lambda s, b: (s, 0)),
+            pl.BlockSpec((c, TB, wp), lambda s, b: (0, s, 0)),
+        ],
+        out_specs=pl.BlockSpec((c, TB, wp), lambda s, b: (0, s, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, c4, wrc, wp), stack4.dtype),
+            pltpu.VMEM((c4, alloc, wp), jnp.float32),
+            pltpu.VMEM((c, TB, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    vmem_bytes = (
+        2 * c4 * wrc * wp * stack4.dtype.itemsize
+        + alloc * c4 * wp * 4
+        + 3 * c * TB * wp * ref.dtype.itemsize
+        + 2 * TB * wp * 4
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), ref.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes * 2.5) + 2 * 2**20, 100 * 2**20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=90 * c * hp * wp,
+            bytes_accessed=(2 * c4 + 3) * hp * wp * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(bases, stack_p, vx_p, vy_p, ref_p)
     return out[:, :h, :w]

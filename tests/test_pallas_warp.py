@@ -170,3 +170,63 @@ class TestEndToEndForcedOn:
             np.asarray(u1 - u0, np.float64), np.asarray(v1 - v0, np.float64)
         ).mean()
         assert err < 1e-4, err
+
+
+class TestBicubicKernel:
+    @pytest.mark.parametrize(
+        "c,h,w,amp,tdt",
+        [
+            (3, 128, 512, 4.5, None),
+            (1, 131, 200, 21.5, None),
+            (3, 128, 512, 4.5, jnp.bfloat16),  # bf16 table, f32 Hermite
+        ],
+    )
+    def test_f32_vs_serial(self, c, h, w, amp, tdt, monkeypatch):
+        from papteam_opticalflow_tpu.ops import bicubic
+
+        im1, im2, vx, vy = make_case(c, h, w, amp, jnp.float32)
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "off")
+        want = bicubic.warp_bicubic_ref(im1, im2, vx, vy, table_dtype=tdt)
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "on")
+        monkeypatch.setattr(interp, "_PALLAS_WARP_MIN_BYTES", 1)
+        got = bicubic.warp_bicubic_ref(im1, im2, vx, vy, table_dtype=tdt)
+        # Hermite combine order differs (sum-of-16 vs two basis matmuls):
+        # a few f32 ULP on O(1) values.
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=5e-6
+        )
+
+    def test_bf16_more_accurate_than_serial(self, monkeypatch):
+        # bf16 feature path: the serial evaluation runs the Hermite sums
+        # in bf16; the kernel accumulates f32 and must be closer to the
+        # f64 truth.
+        from papteam_opticalflow_tpu.ops import bicubic
+
+        c, h, w = 5, 128, 384
+        im1, im2, vx, vy = make_case(c, h, w, 4.5, jnp.bfloat16)
+        truth = bicubic.warp_bicubic_ref(
+            im1.astype(jnp.float64), im2.astype(jnp.float64),
+            vx.astype(jnp.float64), vy.astype(jnp.float64),
+        )
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "off")
+        serial = bicubic.warp_bicubic_ref(im1, im2, vx, vy)
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "on")
+        monkeypatch.setattr(interp, "_PALLAS_WARP_MIN_BYTES", 1)
+        kern = bicubic.warp_bicubic_ref(im1, im2, vx, vy)
+        e_s = np.abs(np.asarray(serial, np.float64) - np.asarray(truth)).mean()
+        e_k = np.abs(np.asarray(kern, np.float64) - np.asarray(truth)).mean()
+        assert e_k <= e_s
+
+    def test_violent_flow_falls_back(self, monkeypatch):
+        from papteam_opticalflow_tpu.ops import bicubic
+
+        c, h, w = 2, 128, 384
+        im1, im2, vx, vy = make_case(c, h, w, 60.0, jnp.float32)
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "off")
+        want = bicubic.warp_bicubic_ref(im1, im2, vx, vy)
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "on")
+        monkeypatch.setattr(interp, "_PALLAS_WARP_MIN_BYTES", 1)
+        got = bicubic.warp_bicubic_ref(im1, im2, vx, vy)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=5e-6
+        )
