@@ -117,22 +117,27 @@ def _bicubic_pallas_adaptive(ref, stack4, vx, vy):
     """Displacement-adaptive Hermite warp via the Pallas VPU kernel; the
     serial gather path handles flows beyond the window margin (same
     contract as ``interp._warp_pallas_adaptive``)."""
-    from .interp import _TILE_MARGINS
+    from .interp import _pallas_margin_for
     from .pallas.warp import warp_bicubic_pallas
 
     c4, h, w = stack4.shape
     i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     x = jnp.arange(w, dtype=jnp.float32)[None, :] + vx
     y = jnp.arange(h, dtype=jnp.float32)[:, None] + vy
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
     y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
     zero = jnp.zeros((), jnp.int32)
     dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0 - i)))
-    bucket = (dy > _TILE_MARGINS[0]).astype(jnp.int32)
+    # Column exactness bound of the 3-block decomposition (|x0-j|<=127),
+    # independent of the row margin — see interp._warp_pallas_adaptive.
+    dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0 - j)))
+    margin = _pallas_margin_for(h)
+    bucket = ((dy > margin) | (dx > 127)).astype(jnp.int32)
 
     def pallas_branch(ref, stack4, vx, vy):
-        return warp_bicubic_pallas(ref, stack4, vx, vy,
-                                   margin=_TILE_MARGINS[0])
+        return warp_bicubic_pallas(ref, stack4, vx, vy, margin=margin)
 
     def serial_branch(ref, stack4, vx, vy):
         return _serial_hermite(ref, stack4, vx, vy, ref.dtype)

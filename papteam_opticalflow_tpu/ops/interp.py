@@ -695,6 +695,23 @@ _PALLAS_WARP = "auto"
 # already in its fast regime and level times are dominated by SOR; the
 # kernel also needs enough rows for its margin window.
 _PALLAS_WARP_MIN_BYTES = 2 * 2**20
+# Row-window margin of the Pallas warp bucket.  The margin costs ONLY
+# window DMA bytes + the per-strip f32 up-convert (the candidate loop is
+# data-bounded), so it is sized for real data, not the common case:
+# consecutive 1920px dataset pairs measure |vy| up to ~38 px (3 of the
+# first 4 pairs exceed 24), and a missed bucket silently costs the whole
+# serial-gather warp.  64 covers everything observed with ~2x window
+# bytes over 24; beyond it the serial fallback still guarantees
+# exactness.
+_PALLAS_MARGIN = 64
+
+
+def _pallas_margin_for(h: int) -> int:
+    """Largest supported row margin whose window fits the image height
+    (small levels keep the kernel with the tighter window)."""
+    from .pallas.warp import _wrc
+
+    return _PALLAS_MARGIN if h >= _wrc(_PALLAS_MARGIN) else _TILE_MARGINS[0]
 
 
 def _use_pallas_warp(img: jnp.ndarray) -> bool:
@@ -707,7 +724,7 @@ def _use_pallas_warp(img: jnp.ndarray) -> bool:
 
     big = (
         c * h * w * jnp.dtype(img.dtype).itemsize >= _PALLAS_WARP_MIN_BYTES
-        and h >= _wrc(_TILE_MARGINS[0], h)
+        and h >= _wrc(_TILE_MARGINS[0])
         and w >= 128
     )
     if not big:
@@ -740,17 +757,23 @@ def _warp_pallas_adaptive(im1, im2, vx, vy):
     vxf = vx.astype(ftype)
     vyf = vy.astype(ftype)
     i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     x = jnp.arange(w, dtype=ftype)[None, :] + vxf
     y = jnp.arange(h, dtype=ftype)[:, None] + vyf
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
     y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
     zero = jnp.zeros((), jnp.int32)
     dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0 - i)))
-    bucket = (dy > _TILE_MARGINS[0]).astype(jnp.int32)
+    # The kernel's 3-aligned-block column decomposition is exact only for
+    # horizontal integer displacements within one block (|x0 - j| <= 127)
+    # — independent of the row margin.
+    dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0 - j)))
+    margin = _pallas_margin_for(h)
+    bucket = ((dy > margin) | (dx > 127)).astype(jnp.int32)
 
     def pallas_branch(im1, im2, vxf, vyf):
-        return warp_bilinear_pallas(im1, im2, vxf, vyf,
-                                    margin=_TILE_MARGINS[0])
+        return warp_bilinear_pallas(im1, im2, vxf, vyf, margin=margin)
 
     def serial_branch(im1, im2, vxf, vyf):
         xx = jnp.arange(w, dtype=ftype)[None, :] + vxf

@@ -230,3 +230,21 @@ class TestBicubicKernel:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=0, atol=5e-6
         )
+
+
+class TestColumnBoundGuard:
+    def test_horizontal_violent_flow_falls_back(self):
+        # |dx| >= 128 breaks the kernel's 3-aligned-block column
+        # decomposition even when dy is tiny — the adaptive wrapper must
+        # route such flows to the serial branch (exact, modulo FMA).
+        c, h, w = 1, 128, 640
+        rng = np.random.default_rng(3)
+        im1 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        im2 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        vx = jnp.full((h, w), 200.0, jnp.float32)  # in-bounds for left cols
+        vy = jnp.asarray(rng.uniform(-2, 2, (h, w)), jnp.float32)
+        out = interp._warp_pallas_adaptive(im1, im2, vx, vy)
+        ref = xla_warp(im1, im2, vx, vy)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=3e-7
+        )
