@@ -81,19 +81,63 @@ def _pair_stats(u, v):
     )
 
 
-def _flow_chw_dispatch(im1_chw, im2_chw, levels: int, params: FlowParams):
-    """Enqueue one pair WITHOUT waiting for it (JAX dispatch is async):
-    returns an opaque pending handle for ``_flow_chw_resolve``.  Used by
-    the pipelined sweep to keep the next pair's program queued while the
-    previous one executes, hiding the per-dispatch host latency."""
+@functools.lru_cache(maxsize=None)
+def _flow_u8_jit(levels: int, params: FlowParams):
+    """Jitted flow whose inputs are DEVICE-resident uint8 frames,
+    normalized on device: the tunneled host link costs ~25 ms/MB, so a
+    1920px pair's f32 planes (48 MB) take ~1.2 s of pure transfer — 6x
+    the compute.  uint8 cuts the bytes 4x and the on-device ``x / 255``
+    division reproduces the host loaders' IEEE f32 rounding."""
+    import jax
     import jax.numpy as jnp
 
     from ..models.coarse2fine import coarse2fine_flow_chw
 
+    def f(a, b):
+        return coarse2fine_flow_chw(
+            a.astype(jnp.float32) / 255.0,
+            b.astype(jnp.float32) / 255.0,
+            levels, params,
+        )
+
+    return jax.jit(f)
+
+
+def _frame_to_device_u8(arr_f32, key, cache: dict):
+    """Host f32 [0,1] frame -> device uint8, cached by frame key so the
+    shared frame of consecutive video pairs transfers ONCE (pair k's
+    ``after`` is pair k+1's ``before`` — halves link traffic again).
+    ``np.rint(x * 255)`` inverts the loaders' ``u8 / 255`` exactly."""
+    import jax.numpy as jnp
+
+    dev = cache.get(key)
+    if dev is None:
+        dev = jnp.asarray(np.rint(arr_f32 * 255.0).astype(np.uint8))
+        cache[key] = dev
+        while len(cache) > 4:
+            cache.pop(next(iter(cache)))
+    return dev
+
+
+def _flow_chw_dispatch(im1_chw, im2_chw, levels: int, params: FlowParams,
+                       u8_device: bool = False):
+    """Enqueue one pair WITHOUT waiting for it (JAX dispatch is async):
+    returns an opaque pending handle for ``_flow_chw_resolve``.  Used by
+    the pipelined sweep to keep the next pair's program queued while the
+    previous one executes, hiding the per-dispatch host latency.
+    ``u8_device``: inputs are device-resident uint8 frames
+    (``_flow_u8_jit`` normalizes on device)."""
+    import jax.numpy as jnp
+
     start = time.perf_counter()
-    u, v, _w = coarse2fine_flow_chw(
-        jnp.asarray(im1_chw), jnp.asarray(im2_chw), levels, params
-    )
+    if u8_device:
+        u, v, _w = _flow_u8_jit(levels, params)(im1_chw, im2_chw)
+    else:
+        from ..models.coarse2fine import coarse2fine_flow_chw
+
+        u, v, _w = coarse2fine_flow_chw(
+            jnp.asarray(im1_chw), jnp.asarray(im2_chw), levels, params
+        )
     return start, u, v, _stats_jit()(u, v)
 
 
@@ -352,6 +396,7 @@ def run_sweep(args) -> dict:
                 idx = 0
                 pending = None  # pipelined mode: (pair, dispatch handle)
                 last_resolve = None  # previous resolve timestamp (pipeline)
+                frame_cache = {}  # path -> device uint8 frame (video reuse)
                 while idx < len(todo):
                     group, ims = [], []
                     while idx < len(todo) and len(group) < batch:
@@ -390,6 +435,17 @@ def run_sweep(args) -> dict:
                         ):
                             record_pair(pair, timing, u, v, f, m)
                     elif len(group) == 1:
+                        # Single-pair paths ship uint8 frames and reuse
+                        # the consecutive-video shared frame on device:
+                        # at 1920px this turns a ~1.2 s/pair f32 transfer
+                        # into ~0.15 s overlapped (the link is the sweep
+                        # bottleneck, not the engine).
+                        dev_a = _frame_to_device_u8(
+                            ims[0][0], str(group[0].before.path), frame_cache
+                        )
+                        dev_b = _frame_to_device_u8(
+                            ims[0][1], str(group[0].after.path), frame_cache
+                        )
                         if getattr(args, "pipeline", False):
                             # Depth-1 software pipeline: enqueue this
                             # pair, then resolve the previous one — the
@@ -397,7 +453,7 @@ def run_sweep(args) -> dict:
                             # throughput loses the per-dispatch host
                             # latency (~25 ms/pair on this platform).
                             disp = _flow_chw_dispatch(
-                                ims[0][0], ims[0][1], levels, params
+                                dev_a, dev_b, levels, params, u8_device=True
                             )
                             if pending is not None:
                                 p_pair, p_disp = pending
@@ -406,8 +462,11 @@ def run_sweep(args) -> dict:
                                 record_pair(p_pair, *res)
                             pending = (group[0], disp)
                         else:
-                            timing, u, v, f, m = _flow_chw(
-                                ims[0][0], ims[0][1], levels, params
+                            timing, u, v, f, m = _flow_chw_resolve(
+                                _flow_chw_dispatch(
+                                    dev_a, dev_b, levels, params,
+                                    u8_device=True,
+                                )
                             )
                             record_pair(group[0], timing, u, v, f, m)
                     else:

@@ -117,7 +117,7 @@ def _bicubic_pallas_adaptive(ref, stack4, vx, vy):
     """Displacement-adaptive Hermite warp via the Pallas VPU kernel; the
     serial gather path handles flows beyond the window margin (same
     contract as ``interp._warp_pallas_adaptive``)."""
-    from .interp import _pallas_margin_for
+    from .interp import _PALLAS_MARGIN_BICUBIC, _pallas_margins_for
     from .pallas.warp import warp_bicubic_pallas
 
     c4, h, w = stack4.shape
@@ -130,20 +130,27 @@ def _bicubic_pallas_adaptive(ref, stack4, vx, vy):
     x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
     zero = jnp.zeros((), jnp.int32)
     dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0 - i)))
-    # Column exactness bound of the 3-block decomposition (|x0-j|<=127),
+    # Column exactness bound of the 5-block decomposition (|x0-j|<=255),
     # independent of the row margin — see interp._warp_pallas_adaptive.
+    # The bicubic window holds 12 planes, so VMEM caps its row margin.
     dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0 - j)))
-    margin = _pallas_margin_for(h)
-    bucket = ((dy > margin) | (dx > 127)).astype(jnp.int32)
+    margins = _pallas_margins_for(h, cap=_PALLAS_MARGIN_BICUBIC)
+    bucket = sum((dy > m).astype(jnp.int32) for m in margins)
+    bucket = jnp.where(dx > 255, len(margins), bucket)
 
-    def pallas_branch(ref, stack4, vx, vy):
-        return warp_bicubic_pallas(ref, stack4, vx, vy, margin=margin)
+    def pallas_branch(m):
+        def f(ref, stack4, vx, vy):
+            return warp_bicubic_pallas(ref, stack4, vx, vy, margin=m)
+
+        return f
 
     def serial_branch(ref, stack4, vx, vy):
         return _serial_hermite(ref, stack4, vx, vy, ref.dtype)
 
     return jax.lax.switch(
-        bucket, [pallas_branch, serial_branch], ref, stack4, vx, vy
+        bucket,
+        [pallas_branch(m) for m in margins] + [serial_branch],
+        ref, stack4, vx, vy,
     )
 
 

@@ -695,23 +695,35 @@ _PALLAS_WARP = "auto"
 # already in its fast regime and level times are dominated by SOR; the
 # kernel also needs enough rows for its margin window.
 _PALLAS_WARP_MIN_BYTES = 2 * 2**20
-# Row-window margin of the Pallas warp bucket.  The margin costs ONLY
+# Row-window margins of the Pallas warp bucket.  The margin costs ONLY
 # window DMA bytes + the per-strip f32 up-convert (the candidate loop is
-# data-bounded), so it is sized for real data, not the common case:
-# consecutive 1920px dataset pairs measure |vy| up to ~38 px (3 of the
-# first 4 pairs exceed 24), and a missed bucket silently costs the whole
-# serial-gather warp.  64 covers everything observed with ~2x window
-# bytes over 24; beyond it the serial fallback still guarantees
-# exactness.
-_PALLAS_MARGIN = 64
+# data-bounded), so it is sized for real data, not the common case: a
+# 60-pair 1920px sweep measures per-pair max flows of 36-201 px (p50
+# ~55), and a missed bucket silently costs the whole serial-gather warp
+# (~3x).  The bilinear kernel (C feature channels) affords 96; the
+# bicubic one holds 12 window planes, so its VMEM caps the margin at 64.
+# Beyond the margin the serial fallback still guarantees exactness.
+# Margin LADDER: the window up-convert scales with the margin (measured
+# on the recorded oracle flow: 1.70 ms/warp at 64 vs 2.26 at 96 for the
+# L0 bilinear), so the common case runs the tight kernel and only pairs
+# that actually need it pay for the wide one.
+_PALLAS_MARGINS = (64, 96)
+_PALLAS_MARGIN_BICUBIC = 64
 
 
-def _pallas_margin_for(h: int) -> int:
-    """Largest supported row margin whose window fits the image height
-    (small levels keep the kernel with the tighter window)."""
+def _pallas_margins_for(h: int, cap: int | None = None):
+    """Ascending usable row margins for an image of height ``h`` (the
+    smallest ladder rung that fits is always included so small levels
+    keep the kernel)."""
     from .pallas.warp import _wrc
 
-    return _PALLAS_MARGIN if h >= _wrc(_PALLAS_MARGIN) else _TILE_MARGINS[0]
+    out = [
+        m for m in _PALLAS_MARGINS
+        if (cap is None or m <= cap) and h >= _wrc(m)
+    ]
+    if not out and h >= _wrc(_TILE_MARGINS[0]):
+        out = [_TILE_MARGINS[0]]
+    return tuple(out)
 
 
 def _use_pallas_warp(img: jnp.ndarray) -> bool:
@@ -765,15 +777,19 @@ def _warp_pallas_adaptive(im1, im2, vx, vy):
     x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
     zero = jnp.zeros((), jnp.int32)
     dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0 - i)))
-    # The kernel's 3-aligned-block column decomposition is exact only for
-    # horizontal integer displacements within one block (|x0 - j| <= 127)
-    # — independent of the row margin.
+    # The kernel's 5-aligned-block column decomposition is exact only for
+    # horizontal integer displacements within two blocks (|x0 - j| <=
+    # 255) — independent of the row margin.
     dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0 - j)))
-    margin = _pallas_margin_for(h)
-    bucket = ((dy > margin) | (dx > 127)).astype(jnp.int32)
+    margins = _pallas_margins_for(h)
+    bucket = sum((dy > m).astype(jnp.int32) for m in margins)
+    bucket = jnp.where(dx > 255, len(margins), bucket)
 
-    def pallas_branch(im1, im2, vxf, vyf):
-        return warp_bilinear_pallas(im1, im2, vxf, vyf, margin=margin)
+    def pallas_branch(m):
+        def f(im1, im2, vxf, vyf):
+            return warp_bilinear_pallas(im1, im2, vxf, vyf, margin=m)
+
+        return f
 
     def serial_branch(im1, im2, vxf, vyf):
         xx = jnp.arange(w, dtype=ftype)[None, :] + vxf
@@ -782,7 +798,9 @@ def _warp_pallas_adaptive(im1, im2, vx, vy):
         return jnp.where(bad, im1, bilinear_gather(im2, xx, yy))
 
     return jax.lax.switch(
-        bucket, [pallas_branch, serial_branch], im1, im2, vxf, vyf
+        bucket,
+        [pallas_branch(m) for m in margins] + [serial_branch],
+        im1, im2, vxf, vyf,
     )
 
 

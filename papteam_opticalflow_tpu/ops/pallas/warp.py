@@ -167,6 +167,31 @@ def _coord_fields(h, w, wp, vx_ref, vy_ref, base, strip0, clip01):
     return oob, fx, fy, x0n, x1n, r0, r1
 
 
+def _apply_column_blocks(jv, nj, x0s, x1s, accumulate):
+    """Statically unrolled aligned source-column blocks jv-2..jv+2, each
+    gated by a cheap any-pixel-needs-it scalar flag (ascending cb keeps
+    the serial accumulate order: x0 before x1 per candidate row).  Five
+    blocks cover integer horizontal displacements |x0 - j| <= 255; the
+    adaptive wrappers route larger flows to the serial fallback."""
+    for off in (-2, -1):
+        cb = jv + off
+        if cb >= 0:
+            need = jnp.min(x0s) < (cb + 1) * 128
+
+            @pl.when(need)
+            def _(cb=cb):
+                accumulate(cb)
+    accumulate(jv)
+    for off in (1, 2):
+        cb = jv + off
+        if cb < nj:
+            need = jnp.max(x1s) >= cb * 128
+
+            @pl.when(need)
+            def _(cb=cb):
+                accumulate(cb)
+
+
 def _warp_kernel(
     c: int, h: int, w: int, wp: int, margin: int, out_dtype,
     bases_ref,                     # scalar-prefetch (NS,) int32
@@ -191,13 +216,9 @@ def _warp_kernel(
     # Per 128-column output block: ONE dynamic fori over candidate row
     # offsets (the data-dependent part — trip count == within-strip
     # displacement variation + 2, median ~3); the column side is fully
-    # static.  With margin < 104, samples for block jv can only come from
-    # aligned source blocks jv-1 / jv / jv+1 (span <= 128 + 2*margin + 1
-    # < 384), so the cb loop unrolls into three predicated bodies gated
-    # by cheap scalar any-pixel-needs-it flags — dynamic while-loops were
-    # the dominant overhead of the first cut (nested d x cb whiles
-    # measured 1.5-2x slower than this structure).
-    assert margin < 104, "3-block column decomposition needs margin < 104"
+    # static (_apply_column_blocks) — dynamic while-loops were the
+    # dominant overhead of the first cut (nested d x cb whiles measured
+    # 1.5-2x slower than this structure).
     nj = wp // 128
     for jv in range(nj):
         sl = slice(jv * 128, (jv + 1) * 128)
@@ -206,8 +227,6 @@ def _warp_kernel(
         r0s, r1s = r0[:, sl], r1[:, sl]
         dlo = jnp.maximum(jnp.min(r0s), -_G)
         dhi = jnp.minimum(jnp.max(r1s), wrc - 1)
-        need_left = jnp.min(x0s) < jv * 128
-        need_right = jnp.max(x1s) >= (jv + 1) * 128
         one_m_fx = 1.0 - fxs
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -232,17 +251,7 @@ def _warp_kernel(
                     g1 = jnp.take_along_axis(src, lx1, axis=-1)
                     acc_ref[ch] = acc_ref[ch] + w0 * g0 + w1 * g1
 
-            # Ascending cb keeps the accumulate order of the serial path
-            # (x0 contributions before x1 within each candidate row).
-            if jv > 0:
-                @pl.when(need_left)
-                def _():
-                    accumulate(jv - 1)
-            accumulate(jv)
-            if jv + 1 < nj:
-                @pl.when(need_right)
-                def _():
-                    accumulate(jv + 1)
+            _apply_column_blocks(jv, nj, x0s, x1s, accumulate)
             return carry
 
         jax.lax.fori_loop(dlo, dhi + 1, dbody, 0)
@@ -375,7 +384,6 @@ def _bicubic_kernel(
     hx = hermite(fx)
     hy = hermite(fy)
 
-    assert margin < 104, "3-block column decomposition needs margin < 104"
     nj = wp // 128
     for jv in range(nj):
         sl = slice(jv * 128, (jv + 1) * 128)
@@ -385,8 +393,6 @@ def _bicubic_kernel(
         r0s, r1s = r0[:, sl], r1[:, sl]
         dlo = jnp.maximum(jnp.min(r0s), -_G)
         dhi = jnp.minimum(jnp.max(r1s), wrc - 1)
-        need_left = jnp.min(x0s) < jv * 128
-        need_right = jnp.max(x1s) >= (jv + 1) * 128
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
         def dbody(d, carry):
@@ -435,15 +441,7 @@ def _bicubic_kernel(
                                 + wc[fx_][fy_][1] * g1
                             )
 
-            if jv > 0:
-                @pl.when(need_left)
-                def _():
-                    accumulate(jv - 1)
-            accumulate(jv)
-            if jv + 1 < nj:
-                @pl.when(need_right)
-                def _():
-                    accumulate(jv + 1)
+            _apply_column_blocks(jv, nj, x0s, x1s, accumulate)
             return carry
 
         jax.lax.fori_loop(dlo, dhi + 1, dbody, 0)
