@@ -81,21 +81,16 @@ def _alloc_rows(margin: int) -> int:
     return _G + ((wrc - 1) // 8) * 8 + TB + 8
 
 
-def window_bases(h: int, margin: int):
-    """STATIC per-strip DMA base rows (no flow dependence — coverage for
-    ``|y0 - i| <= margin`` is the bucket guarantee): strip start minus
-    margin, clamped into the 8-padded image, floored to sublane
-    alignment.  ``h8 - wrc`` is 8-aligned by construction, so the floor
-    never undercuts bottom-row coverage."""
-    import numpy as np
-
+def _scalar_rows(row0, ns: int, h: int, margin: int):
+    """Per-strip prefetch scalars ``[bases | strip0s]``: window DMA base
+    rows (8-aligned, clamped into the 8-padded image) and the strips'
+    global first output rows.  ``row0`` may be a traced scalar (the
+    sharded band warp) or 0 (whole-frame warps)."""
     wrc = _wrc(margin)
     h8 = -(-h // 8) * 8
-    ns = -(-h // TB)
-    strip0 = np.arange(ns, dtype=np.int64) * TB
-    return (np.clip(strip0 - margin, 0, max(h8 - wrc, 0)) // 8 * 8).astype(
-        np.int32
-    )
+    strip0s = row0 + jnp.arange(ns, dtype=jnp.int32) * TB
+    bases = jnp.clip(strip0s - margin, 0, max(h8 - wrc, 0)) // 8 * 8
+    return jnp.concatenate([bases, strip0s])
 
 
 def _window_pipeline(bases_ref, src_hbm, land_ref, win_ref, sem, wrc):
@@ -138,8 +133,14 @@ def _coord_fields(h, w, wp, vx_ref, vy_ref, base, strip0, clip01):
     different only at discarded OOB pixels."""
     fi = jax.lax.broadcasted_iota(jnp.int32, (TB, wp), 0)
     fj = jax.lax.broadcasted_iota(jnp.int32, (TB, wp), 1)
+    # Row indices CLAMP into the image: interior strips are unaffected
+    # (strip0 + i < h), and the sharded band warp's clamp-replicated
+    # halo/ghost rows get their exact sample row this way — folding the
+    # clamp into vy instead would round the coordinate at the magnitude
+    # of the row index (~1e-5 at 1080 rows).
+    ic = jnp.clip(fi + strip0, 0, h - 1)
     x = fj.astype(jnp.float32) + vx_ref[:]
-    y = (fi + strip0).astype(jnp.float32) + vy_ref[:]
+    y = ic.astype(jnp.float32) + vy_ref[:]
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
     xx = jnp.trunc(x)
     yy = jnp.trunc(y)
@@ -161,6 +162,9 @@ def _coord_fields(h, w, wp, vx_ref, vy_ref, base, strip0, clip01):
     neutral_r = strip0 - base
     r0 = jnp.where(oob, neutral_r, y0 - base - fi)
     r1 = jnp.where(oob, neutral_r, y1 - base - fi)
+    # (r0/r1 stay relative to the NOMINAL rows fi + strip0 — the window
+    # coverage proof is about strip geometry, and clamped rows just have
+    # slightly larger |r|, which the d-loop bounds absorb.)
     xn = jnp.clip(fj, 0, w - 1)
     x0n = jnp.where(oob, xn, x0)
     x1n = jnp.where(oob, xn, x1)
@@ -206,9 +210,10 @@ def _warp_kernel(
 ):
     wrc = _wrc(margin)
     s = pl.program_id(0)
+    ns = pl.num_programs(0)
     _window_pipeline(bases_ref, im2_hbm, land_ref, win_ref, sem, wrc)
     base = bases_ref[s]
-    strip0 = s * TB
+    strip0 = bases_ref[ns + s]  # global row of the strip's first output row
     oob, fx, fy, x0n, x1n, r0, r1 = _coord_fields(
         h, w, wp, vx_ref, vy_ref, base, strip0, clip01=True
     )
@@ -300,7 +305,7 @@ def warp_bilinear_pallas(im1, im2, vx, vy, margin: int = 24):
     # full-width DMA then fills the landing buffer completely — no ghost
     # hygiene needed there).  No-op at the aligned levels.
     im2_p = pad(im2, h8, wp) if (h8 != h or wp != w) else im2
-    bases = jnp.asarray(window_bases(h, margin))
+    bases = _scalar_rows(jnp.int32(0), ns, h, margin)
 
     kernel = functools.partial(
         _warp_kernel, c, h, w, wp, margin, im2.dtype
@@ -368,9 +373,10 @@ def _bicubic_kernel(
     per image channel 4 plane-gather pairs + FMAs."""
     wrc = _wrc(margin)
     s = pl.program_id(0)
+    ns = pl.num_programs(0)
     _window_pipeline(bases_ref, stack_hbm, land_ref, win_ref, sem, wrc)
     base = bases_ref[s]
-    strip0 = s * TB
+    strip0 = bases_ref[ns + s]  # global row of the strip's first output row
     oob, fx, fy, x0n, x1n, r0, r1 = _coord_fields(
         h, w, wp, vx_ref, vy_ref, base, strip0, clip01=False
     )
@@ -488,7 +494,7 @@ def warp_bicubic_pallas(ref, stack4, vx, vy, margin: int = 24):
     vy_p = pad(vy.astype(jnp.float32), hp, wp)
     ref_p = pad(ref, hp, wp)
     stack_p = pad(stack4, h8, wp) if (h8 != h or wp != w) else stack4
-    bases = jnp.asarray(window_bases(h, margin))
+    bases = _scalar_rows(jnp.int32(0), ns, h, margin)
 
     kernel = functools.partial(
         _bicubic_kernel, c, h, w, wp, margin, ref.dtype
@@ -531,3 +537,83 @@ def warp_bicubic_pallas(ref, stack4, vx, vy, margin: int = 24):
         interpret=_INTERPRET,
     )(bases, stack_p, vx_p, vy_p, ref_p)
     return out[:, :h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def warp_bilinear_pallas_band(im1_b, im2, vx_b, vy_b, row0, margin: int = 64):
+    """Banded ``warp_bilinear_pallas`` for the row-sharded solver
+    (``parallel/tiled._warp_band``): the output covers band rows
+    ``[row0, row0 + hb)`` of the full image (``row0`` traced — typically
+    ``shard_index * band_rows - halo``), gathering from the replicated
+    full ``im2``.  Callers fold any clamped halo-row coordinates into
+    ``vy_b`` (``y == row0 + i + vy_b`` must hold).  Exact under the same
+    ``|y0 - (row0 + i)| <= margin`` / ``|x0 - j| <= 255`` contract."""
+    c, hb, w = im1_b.shape
+    ci, h, wi = im2.shape
+    assert (ci, wi) == (c, w), (im1_b.shape, im2.shape)
+    ns = -(-hb // TB)
+    hp = ns * TB
+    wp = -(-w // 128) * 128
+    h8 = -(-h // 8) * 8
+    wrc = _wrc(margin)
+    alloc = _alloc_rows(margin)
+    if h < wrc:
+        raise ValueError(
+            f"warp_bilinear_pallas_band: image height {h} < window {wrc}"
+        )
+
+    def pad(a, rows, cols):
+        if rows == a.shape[-2] and cols == a.shape[-1]:
+            return a
+        cfg = [(0, 0)] * (a.ndim - 2) + [
+            (0, rows - a.shape[-2]), (0, cols - a.shape[-1])
+        ]
+        return jnp.pad(a, cfg)
+
+    vx_p = pad(vx_b.astype(jnp.float32), hp, wp)
+    vy_p = pad(vy_b.astype(jnp.float32), hp, wp)
+    im1_p = pad(im1_b, hp, wp)
+    im2_p = pad(im2, h8, wp) if (h8 != h or wp != w) else im2
+    scalars = _scalar_rows(jnp.asarray(row0, jnp.int32), ns, h, margin)
+
+    kernel = functools.partial(
+        _warp_kernel, c, h, w, wp, margin, im2.dtype
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ns,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TB, wp), lambda s, b: (s, 0)),
+            pl.BlockSpec((TB, wp), lambda s, b: (s, 0)),
+            pl.BlockSpec((c, TB, wp), lambda s, b: (0, s, 0)),
+        ],
+        out_specs=pl.BlockSpec((c, TB, wp), lambda s, b: (0, s, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, wrc, wp), im2.dtype),
+            pltpu.VMEM((c, alloc, wp), jnp.float32),
+            pltpu.VMEM((c, TB, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    vmem_bytes = (
+        2 * c * wrc * wp * im2.dtype.itemsize
+        + alloc * c * wp * 4
+        + 3 * c * TB * wp * im2.dtype.itemsize
+        + 2 * TB * wp * 4
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), im2.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes * 2.5) + 2 * 2**20, 100 * 2**20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * c * hp * wp,
+            bytes_accessed=(2 * c + 3) * hp * wp * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(scalars, im2_p, vx_p, vy_p, im1_p)
+    return out[:, :hb, :w]

@@ -20,13 +20,16 @@ Design notes
   sharded.  The data term's warp gathers read the full (replicated)
   frame — flow magnitude is unbounded so no fixed halo suffices
   (SURVEY.md §7.3).
-* **Amdahl cap of the replicated work** (measured at 1920px P15 bf16 on
-  v5e via ``profiled_flow``, dispatch floors subtracted): pyramids +
-  per-level features + final bicubic warp are ~0.15-0.25 s of the ~0.76 s
-  single-chip pair time, so per-pair latency speedup from ``ty`` tiling
-  saturates around 3-5x regardless of shard count.  Spatial tiling is the
-  *memory/latency* axis; THROUGHPUT scaling belongs to the ``frame`` axis
-  (``parallel/batch.py``), where pairs are embarrassingly parallel.
+* **Amdahl cap of the replicated work** (re-measured r4 at 1920px P15
+  bf16 on v5e, bench phases/ops): pyramid construction 3.9 ms +
+  per-level features 0.3 + inter-level resize 0.6 + final bicubic 3.1 of
+  the 169 ms device pair — ~4.6% replicated, since the r4 Pallas warp /
+  bicubic kernels shrank exactly the pieces that used to be replicated
+  hot spots, and the band warp runs the same kernel sharded.  Projected
+  ty efficiency (tools/measure_scaling.py, SCALING.json): 0.84 at ty=2,
+  0.73 at ty=4.  Spatial tiling is the *memory/latency* axis; THROUGHPUT
+  scaling belongs to the ``frame`` axis (``parallel/batch.py``), where
+  pairs are embarrassingly parallel.
 """
 
 from __future__ import annotations
@@ -138,7 +141,9 @@ def _warp_band(feat1_b, feat2, feat2_pack, u_b, v_b, y_rows, h_img, r0=None):
     (``interp.gather2d_band_adaptive``), so each shard gathers from small
     source windows instead of paying the full-frame footprint cost."""
     from ..ops.interp import (
+        _pallas_margins_for,
         _tiled_chunks,
+        _use_pallas_warp,
         _use_tiled_warp,
         gather2d_band_adaptive,
     )
@@ -149,6 +154,44 @@ def _warp_band(feat1_b, feat2, feat2_pack, u_b, v_b, y_rows, h_img, r0=None):
     x = j[None, :] + u_b
     y = y_rows.astype(ftype)[:, None] + v_b
     oob = (x < 0) | (x > w - 1) | (y < 0) | (y > h_img - 1)
+    if r0 is not None and _use_pallas_warp(feat2):
+        # Pallas VPU band warp (round 4): per-shard strips gather from
+        # the replicated full frame through the candidate-row kernel —
+        # without this, ty-sharding would run the serial gather unit and
+        # give back most of the single-chip warp win.  Same adaptive
+        # exactness contract as interp._warp_pallas_adaptive, banded.
+        from ..ops.pallas.warp import warp_bilinear_pallas_band
+
+        hb = u_b.shape[-2]
+        ftype32 = jnp.float32
+        # The kernel clamps its nominal rows (clip(r0 + i, 0, h-1)) —
+        # exactly the band's y_rows — so v_b passes through unchanged.
+        ii = (r0 + jnp.arange(hb))[:, None]
+        jj = jnp.arange(w)[None, :]
+        y0i = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h_img - 1)
+        x0i = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
+        zero = jnp.zeros((), jnp.int32)
+        dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0i - ii)))
+        dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0i - jj)))
+        margins = _pallas_margins_for(h_img)
+        bucket = sum((dy > m).astype(jnp.int32) for m in margins)
+        bucket = jnp.where(dx > 255, len(margins), bucket)
+
+        def pallas_branch(m):
+            def f(f1b, f2, ub, vyb):
+                return warp_bilinear_pallas_band(f1b, f2, ub, vyb, r0,
+                                                 margin=m)
+
+            return f
+
+        def serial_branch(f1b, f2, ub, vyb):
+            return jnp.where(oob, f1b, bilinear_gather(f2, x, y))
+
+        return jax.lax.switch(
+            bucket,
+            [pallas_branch(m) for m in margins] + [serial_branch],
+            feat1_b, feat2, u_b.astype(ftype32), v_b.astype(ftype32),
+        )
     if feat2_pack is not None:
         itemsize = jnp.dtype(feat2_pack.dtype).itemsize
         if r0 is not None and _use_tiled_warp(feat2_pack.shape, itemsize):
@@ -459,14 +502,26 @@ def _tiled_level_solver(
 
     def outer_body(_, carry):
         u_loc, v_loc = carry
-        ug = gather_full(u_loc)
-        vg = gather_full(v_loc)
-        u_p4 = _edge_fix_pad(ug, real_h, pad_h, 4)
-        v_p4 = _edge_fix_pad(vg, real_h, pad_h, 4)
-
         # Phase 1: warp + spatio-temporal derivatives on a halo-4 band.
-        u_b4 = _band(u_p4, r0, h + 8, 4, 4)
-        v_b4 = _band(v_p4, r0, h + 8, 4, 4)
+        # A 4-row halo exchange replaces the r3 full flow all-gather —
+        # the band only ever reads rows [r0-4, r0+h+4), so gathering the
+        # whole field per outer iteration was ~8x the needed ICI bytes
+        # (the one remaining all-gather runs once per LEVEL, for the
+        # replicated inter-level resize).  Mesh-edge halos replicate the
+        # shard's edge row, which IS the clamp row: the bottom shard's
+        # ghost rows are maintained as copies of the last real row
+        # (_repair_ghost), so values match the r3 _edge_fix_pad bands
+        # bit-exactly.  Bands shorter than the halo (tiny coarse levels)
+        # would need rows from beyond the immediate neighbor — those keep
+        # the gather construction (they are a few KB anyway).
+        if h >= 4:
+            uv_b4 = with_halo_rows(jnp.stack([u_loc, v_loc]), 4, axis_name)
+            u_b4, v_b4 = uv_b4[0], uv_b4[1]
+        else:
+            u_p4 = _edge_fix_pad(gather_full(u_loc), real_h, pad_h, 4)
+            v_p4 = _edge_fix_pad(gather_full(v_loc), real_h, pad_h, 4)
+            u_b4 = _band(u_p4, r0, h + 8, 4, 4)
+            v_b4 = _band(v_p4, r0, h + 8, 4, 4)
         warp_b4 = _warp_band(f1_b4, feat2, feat2_pack, u_b4, v_b4, y4,
                              real_h, r0=r0 - 4)
         imdx, imdy, imdt = _get_dxs_band(f1s_b, warp_b4, r0, real_h)

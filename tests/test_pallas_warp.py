@@ -248,3 +248,51 @@ class TestColumnBoundGuard:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=0, atol=3e-7
         )
+
+
+class TestBandKernel:
+    def test_band_matches_full_warp(self):
+        # The banded wrapper must reproduce the corresponding rows of the
+        # full-frame warp (traced row0, clamped halo-row coordinates
+        # folded into vy).
+        c, h, w = 2, 160, 384
+        im1, im2, vx, vy = make_case(c, h, w, 4.5, jnp.float32)
+        ref = xla_warp(im1, im2, vx, vy)
+        for r0, hb in ((-4, 48), (36, 40), (120, 44)):  # top/mid/bottom
+            rows = np.clip(np.arange(r0, r0 + hb), 0, h - 1)
+            # Band fields at clamped rows, as parallel/tiled builds them.
+            vx_b = vx[rows]
+            im1_b = im1[:, rows]
+            out = pwarp.warp_bilinear_pallas_band(
+                im1_b, im2, vx_b, vy[rows], jnp.int32(r0), margin=24
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref[:, rows]), rtol=0, atol=3e-7
+            )
+
+    def test_tiled_band_branch_forced_on(self, monkeypatch):
+        # Route parallel/tiled._warp_band through the Pallas band branch
+        # (interpret mode, forced admission) and pin it to the serial
+        # band machinery it replaces on TPU.
+        from papteam_opticalflow_tpu.parallel import tiled
+
+        c, h, w = 2, 160, 256
+        rng = np.random.default_rng(5)
+        feat1 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        feat2 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        u = jnp.asarray(rng.uniform(-4, 4, (h, w)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-4, 4, (h, w)), jnp.float32)
+        r0, hb = 36, 48
+        rows = np.clip(np.arange(r0 - 4, r0 - 4 + hb), 0, h - 1)
+        y_rows = jnp.asarray(rows, jnp.int32)
+        f1b, ub, vb = feat1[:, rows], u[rows], v[rows]
+
+        want = tiled._warp_band(f1b, feat2, None, ub, vb, y_rows, h,
+                                r0=jnp.int32(r0 - 4))
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "on")
+        monkeypatch.setattr(interp, "_PALLAS_WARP_MIN_BYTES", 1)
+        got = tiled._warp_band(f1b, feat2, None, ub, vb, y_rows, h,
+                               r0=jnp.int32(r0 - 4))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=3e-7
+        )

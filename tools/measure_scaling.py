@@ -74,14 +74,20 @@ def ty_collective_schedule(px: int, levels: int, s: int = 8,
         n_sor = n_sor0 + 3 * k
         chunks = math.ceil(n_sor / s)
         g = 2 * s  # ghost rows per side per exchange
+        # Per inner iteration: one stacked 6-plane system exchange + one
+        # stacked du/dv exchange per S-sweep chunk; per OUTER iteration
+        # one stacked halo-4 u/v band exchange (r4: replaces the r3
+        # per-outer full flow all-gather — the band only reads +-4 rows);
+        # per LEVEL two flow all-gathers for the replicated inter-level
+        # resize.
         per_inner = 2 + 2 * chunks
-        n_coll += n_outer * (per_inner + 2)
-        # bytes per ppermute: stacked planes x G rows x w x 4B, both dirs.
+        n_coll += n_outer * (per_inner + 2) + 2
         halo_bytes += n_outer * (
             2 * 6 * g * w * 4            # system planes, once
             + 2 * chunks * 2 * g * w * 4  # du/dv per chunk
+            + 2 * 2 * 4 * w * 4          # halo-4 u/v band exchange
         )
-        ag_bytes += n_outer * 2 * h * w * 4  # u, v all-gathers
+        ag_bytes += 2 * h * w * 4  # u, v all-gathers, once per level
     return n_coll, halo_bytes + ag_bytes
 
 
@@ -203,13 +209,17 @@ def main():
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--pairs-per-device", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--t1", type=float, default=0.365,
+    ap.add_argument("--t1", type=float, default=0.175,
                     help="measured single-chip s/pair at the projection "
-                         "config (bench.py headline)")
-    ap.add_argument("--repl-frac", type=float, default=0.24,
+                         "config (bench.py headline, r4)")
+    ap.add_argument("--repl-frac", type=float, default=0.046,
                     help="replicated (non-ty-sharded) fraction of pair "
-                         "time, from bench.py phases: (Construction + "
-                         "Allocation + PostProcessing) / total")
+                         "time.  r4: pyramid Construction 3.9ms + "
+                         "per-level im2feature 0.3 + inter-level resize "
+                         "0.6 + final bicubic 3.1 of the 169ms device "
+                         "pair (bench phases/ops; the warps/SOR are "
+                         "sharded, and the band warp runs the same "
+                         "Pallas kernel as single-chip)")
     ap.add_argument("--out", default=str(REPO / "SCALING.json"))
     args = ap.parse_args()
 
