@@ -86,21 +86,27 @@ def _flow_u8_jit(levels: int, params: FlowParams):
     """Jitted flow whose inputs are DEVICE-resident uint8 frames,
     normalized on device: the tunneled host link costs ~25 ms/MB, so a
     1920px pair's f32 planes (48 MB) take ~1.2 s of pure transfer — 6x
-    the compute.  uint8 cuts the bytes 4x and the on-device ``x / 255``
-    division reproduces the host loaders' IEEE f32 rounding."""
+    the compute.  uint8 cuts the bytes 4x.  The 255 divisor is passed as
+    a TRACED operand: a constant ``/ 255.0`` gets strength-reduced by
+    XLA to a reciprocal multiply (1 ulp off true division), while the
+    traced divide reproduces the host loaders' IEEE f32 rounding
+    bit-exactly (tests/test_harness.py pins this)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ..models.coarse2fine import coarse2fine_flow_chw
 
-    def f(a, b):
+    def f(a, b, scale):
         return coarse2fine_flow_chw(
-            a.astype(jnp.float32) / 255.0,
-            b.astype(jnp.float32) / 255.0,
+            a.astype(jnp.float32) / scale,
+            b.astype(jnp.float32) / scale,
             levels, params,
         )
 
-    return jax.jit(f)
+    jitted = jax.jit(f)
+    scale = np.float32(255.0)
+    return lambda a, b: jitted(a, b, scale)
 
 
 def _frame_to_device_u8(arr_f32, key, cache: dict):

@@ -302,3 +302,43 @@ class TestNativeLoader:
         bad.write_bytes(b"not a jpeg")
         with pytest.raises(IOError):
             decode_chw(bad)
+
+
+class TestU8DeviceFrames:
+    def test_u8_normalize_matches_f32_path(self):
+        # The sweep ships uint8 frames and normalizes on device (x/255);
+        # for loader outputs (which ARE u8/255 in f32) the u8 roundtrip
+        # and the device division must reproduce the f32 inputs exactly,
+        # so the flow is bit-identical to feeding f32 directly.
+        import numpy as np
+        import jax.numpy as jnp
+
+        from papteam_opticalflow_tpu.harness import testsuite
+        from papteam_opticalflow_tpu.models.coarse2fine import (
+            coarse2fine_flow_chw,
+        )
+        from papteam_opticalflow_tpu.utils.params import FlowParams
+
+        rng = np.random.default_rng(0)
+        u8a = rng.integers(0, 256, (3, 48, 64), dtype=np.uint8)
+        u8b = rng.integers(0, 256, (3, 48, 64), dtype=np.uint8)
+        # Exactly what the loaders emit: an f32 array divided by 255 in
+        # f32 (PIL path: np.asarray(img, f32)/255.0; native loader:
+        # (float)px / 255.0f) — NOT a f64 divide rounded to f32, which
+        # differs by 1 ulp on some values.
+        fa = u8a.astype(np.float32) / 255.0
+        fb = u8b.astype(np.float32) / 255.0
+
+        cache = {}
+        da = testsuite._frame_to_device_u8(fa, "a", cache)
+        db = testsuite._frame_to_device_u8(fb, "b", cache)
+        np.testing.assert_array_equal(np.asarray(da), u8a)  # exact inverse
+        assert testsuite._frame_to_device_u8(fa, "a", cache) is da  # cached
+
+        params = FlowParams()
+        u1, v1, _ = testsuite._flow_u8_jit(2, params)(da, db)
+        u0, v0, _ = coarse2fine_flow_chw(
+            jnp.asarray(fa), jnp.asarray(fb), 2, params
+        )
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u0))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
