@@ -160,11 +160,12 @@ def _chained_warp(im1, im2, pack, vx, vy, iters, tiled="auto"):
 
 
 def measure_engine(h: int, w: int, c: int, dtype, reps: int = 3,
-                   tiled: str = "auto") -> float:
+                   scheme: str = "pallas") -> float:
     """Seconds per production ``warp_bilinear`` call at the given shape
-    (pack prebuilt once, as in the level solver).  ``tiled``: the
-    ``interp._TILED_WARP`` policy to measure under ("off" = the r2
-    full-table scheme)."""
+    (pack prebuilt once where the scheme uses one).  ``scheme``:
+    "pallas" (r4 VPU kernel, production default on TPU), "tiled" (the r3
+    windowed serial-gather scheme), "fulltable" (the r2 monolithic
+    gather)."""
     from papteam_opticalflow_tpu.ops import interp
     from papteam_opticalflow_tpu.ops.interp import (
         pack_patch2x2,
@@ -174,18 +175,19 @@ def measure_engine(h: int, w: int, c: int, dtype, reps: int = 3,
     rng = np.random.default_rng(2)
     im1 = jnp.asarray(rng.random((c, h, w), dtype=np.float32), dtype=dtype)
     im2 = jnp.asarray(rng.random((c, h, w), dtype=np.float32), dtype=dtype)
-    pack = pack_patch2x2(im2) if should_prebuild_pack(im2) else None
     vx, vy = _smooth_flow(h, w)
     vx, vy = jnp.asarray(vx), jnp.asarray(vy)
-    prev = interp._TILED_WARP
+    prev_t, prev_p = interp._TILED_WARP, interp._PALLAS_WARP
     try:
-        interp._TILED_WARP = tiled
+        interp._PALLAS_WARP = "auto" if scheme == "pallas" else "off"
+        interp._TILED_WARP = "off" if scheme == "fulltable" else "auto"
+        pack = pack_patch2x2(im2) if should_prebuild_pack(im2) else None
         return _per_iter(
-            functools.partial(_chained_warp, tiled=tiled),
+            functools.partial(_chained_warp, tiled=scheme),
             im1, im2, pack, vx, vy, reps=reps,
         )
     finally:
-        interp._TILED_WARP = prev
+        interp._TILED_WARP, interp._PALLAS_WARP = prev_t, prev_p
 
 
 def run(h: int = 1080, w: int = 1920, c: int = 5,
@@ -208,11 +210,13 @@ def run(h: int = 1080, w: int = 1920, c: int = 5,
     for kind in ("smooth", "random", "identity"):
         s = measure_pure(h, w, c4, dtype, kind)
         out["pure_ms"][kind] = round(s * 1e3, 2)
-    eng = measure_engine(h, w, c, dtype)                    # r3 tiled (prod)
-    eng_full = measure_engine(h, w, c, dtype, tiled="off")  # r2 scheme
+    eng = measure_engine(h, w, c, dtype)                        # r4 pallas
+    eng_tiled = measure_engine(h, w, c, dtype, scheme="tiled")  # r3 scheme
+    eng_full = measure_engine(h, w, c, dtype, scheme="fulltable")  # r2
     out["engine_warp_ms"] = round(eng * 1e3, 2)
+    out["engine_tiled_ms"] = round(eng_tiled * 1e3, 2)
     out["engine_fulltable_ms"] = round(eng_full * 1e3, 2)
-    out["tiled_speedup"] = round(eng_full / eng, 2)
+    out["pallas_speedup_vs_tiled"] = round(eng_tiled / eng, 2)
     pure = out["pure_ms"]["smooth"] * 1e-3
     out["pure_effective_gbps"] = round(
         n_idx * slice_bytes / pure / 1e9, 2
@@ -222,11 +226,12 @@ def run(h: int = 1080, w: int = 1920, c: int = 5,
     out["note"] = (
         "pure = raw monolithic flat gather, production index count/slice/"
         "table, serialized chain, dispatch floor differenced out; "
-        "engine_warp = production warp_bilinear (r3 adaptive tiled "
-        "windows); engine_fulltable = the r2 full-table scheme.  The "
-        "table-size sweep shows per-index cost scales with source "
-        "footprint — the mechanism behind the tiled win; the r2 \"3.8 "
-        "GB/s hardware floor\" claim was a big-table artifact."
+        "engine_warp = production warp_bilinear (r4 Pallas VPU kernel); "
+        "engine_tiled = the r3 adaptive windowed serial-gather scheme; "
+        "engine_fulltable = the r2 monolithic gather.  The table-size "
+        "sweep shows per-index cost scales with source footprint — the "
+        "mechanism behind the r3 tiled win; the r4 kernel leaves the "
+        "serial gather unit entirely."
     )
     if full:
         # Slice-width sweep at fixed table/indices (the should_pack_warp
