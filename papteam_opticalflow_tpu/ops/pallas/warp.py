@@ -20,9 +20,11 @@ so the 2-D warp gather is decomposed into
     p90 3-7 on the recorded 1920px oracle flow), so source rows are
     covered by ``Δ+2`` shifted window slices (``d`` loop, data-derived
     trip count via in-kernel min/max reductions);
-  * per 128-column block, a dynamic loop over the 1-3 aligned source
-    column blocks spanned by ``x0``/``x1``, each resolved with one lane
-    gather + masked-weight accumulate.
+  * per 128-column output block, five STATICALLY predicated aligned
+    source column blocks (``_apply_column_blocks``, exact for
+    ``|x0 - j| <= 255``), each resolved with one lane gather +
+    masked-weight accumulate — dynamic nested while-loops were the
+    first cut's dominant overhead.
 
 Strip windows are DMA'd HBM→VMEM (double-buffered) from the raw ``im2``
 planes — the 4C patch pack of the serial-gather scheme is NOT needed
@@ -32,11 +34,12 @@ strip; the bilinear combine runs in f32 and rounds once on output (the
 XLA bf16 path multiplies bf16 weights — the kernel is the MORE accurate
 of the two; the f32 path is bit-exact vs ``ops/interp.bilinear_gather``).
 
-Exactness contract: the kernel is exact when every in-bounds sample's
-integer vertical displacement satisfies ``|y0 - i| <= margin`` (window
-content coverage).  Callers wrap it in the same displacement-adaptive
-``lax.switch`` as the r3 tiled scheme (``ops/interp``), falling back to
-the serial-gather paths for violent flows, so semantics never change.
+Exactness contract: the kernel is exact when every in-bounds sample
+satisfies ``|y0 - i| <= margin`` (window row coverage) and
+``|x0 - j| <= 255`` (column block coverage).  Callers wrap it in a
+displacement-measuring ``lax.switch`` over a margin ladder
+(``ops/interp._warp_pallas_adaptive``), falling back to the serial
+gather paths for violent flows, so semantics never change.
 """
 
 from __future__ import annotations
