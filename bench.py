@@ -10,16 +10,16 @@ reference repo publishes no numbers of its own (BASELINE.md).
 Config via env:
   BENCH_CONFIG=1920:15 (<width_px>:<pyramid_levels>[:<batch>]), default
   1920:15 (batch 1) — the reference's heaviest headline config
-  (TestSuite.py sweep max).  Measured on v5e (late r3: divisor-aware
-  warp tile plan + outer-loop unroll at levels 0-1): 291 ms/pair = 125x
-  the re-measured serial C++ baseline (36.6 s/pair; the r2 "108x" rested
-  on an inflated 67.1 s r1 baseline measurement — see
-  BASELINE_MEASURED.json).  Pipelined (back-to-back async dispatches,
-  one barrier): 271 ms/pair.
+  (TestSuite.py sweep max).  Measured on v5e (r4: Pallas VPU
+  warp/bicubic kernels): 174.7-183.6 ms/pair = 199-208x the re-measured
+  serial C++ baseline (36.6 s/pair; the range is machine-state variance
+  across identical code — see CLAUDE.md).  Pipelined (back-to-back
+  async dispatches, one barrier): 144.7-158.2 ms/pair.
   batch>1 lax.maps consecutive pairs into one dispatch — at 1920px b=4
-  measures 287 ms/pair amortized but its pipelined rate (282) loses to
-  b=1 pipelined (271), and per-dispatch latency is 4x; batching still
-  wins at <=960px (73 ms/pair at 960px P8 b8 = 108x).
+  amortizes 160.2 ms/pair over a HARDER mix (bench pairs 1-3 carry
+  28-65 px flows vs pair 0's 20), i.e. batching no longer loses at 1920
+  (the r3 tiled-warp-under-map regression is gone); b=1 stays the
+  default for the stricter per-dispatch latency story.
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
   fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with >15x
   margin AT THE HEADLINE CONFIG: measured on-chip at 1920px P15 vs the
@@ -312,9 +312,9 @@ class _Watchdog(Exception):
 def main():
     import signal
 
-    # Default batch=1: best per-pair latency AND best pipelined rate at
-    # 1920px P15 (b1 271 vs b4 282 ms/pair pipelined; b4's amortized
-    # per-pair is 287 vs 292 sequential, but its dispatch latency is 4x).
+    # Default batch=1: strictest per-dispatch latency at 1920px P15;
+    # b=4 amortizes comparably (160.2 ms/pair over a harder pair mix, r4)
+    # with 4x the dispatch latency.
     cfg = [int(x) for x in os.environ.get("BENCH_CONFIG", "1920:15").split(":")]
     width_px, levels = cfg[0], cfg[1]
     batch = cfg[2] if len(cfg) > 2 else 1
