@@ -23,9 +23,9 @@ Config via env:
   BENCH_DTYPE=bfloat16|float32 (default bfloat16 — image planes only; flow
   fields / SOR system stay f32.  Meets the <=0.1 px EPE contract with >15x
   margin AT THE HEADLINE CONFIG: measured on-chip at 1920px P15 vs the
-  recorded serial-oracle flow: 5.9e-3 px bf16, 1.0e-3 px float32
-  (tools/onchip_epe.py).  The ~2e-4 px figure applies to the f64 CPU
-  parity mode.)
+  recorded serial-oracle flow: 7.3e-3 px bf16, 1.0e-3 px float32
+  (tools/onchip_epe.py, r4).  The ~2e-4 px figure applies to the f64
+  CPU parity mode.)
   BENCH_ITERS=5
   BENCH_EXTRAS=0 skips the roofline/phases/ops/vpu/gather extras;
   BENCH_GATHER=quick skips the gather shape sweeps
