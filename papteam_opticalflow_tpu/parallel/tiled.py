@@ -513,8 +513,13 @@ def _tiled_level_solver(
         # (_repair_ghost), so values match the r3 _edge_fix_pad bands
         # bit-exactly.  Bands shorter than the halo (tiny coarse levels)
         # would need rows from beyond the immediate neighbor — those keep
-        # the gather construction (they are a few KB anyway).
-        if h >= 4:
+        # the gather construction (they are a few KB anyway).  So do
+        # levels with a FULLY-ghost shard ((n_ty-1)*h >= real_h): there
+        # _repair_ghost's edge_idx clamps to that shard's local row 0,
+        # which is itself a ghost, so its rows go stale after the first
+        # outer iteration and the neighbor halo would feed stale values
+        # into the bottom-edge stencils (ADVICE r4, high).
+        if h >= 4 and (n_ty - 1) * h < real_h:
             uv_b4 = with_halo_rows(jnp.stack([u_loc, v_loc]), 4, axis_name)
             u_b4, v_b4 = uv_b4[0], uv_b4[1]
         else:

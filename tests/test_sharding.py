@@ -65,13 +65,19 @@ class TestTiled:
         np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-10)
         np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=1e-10)
 
-    def test_ragged_height_ghost_rows(self):
-        # H=45 over 8 shards -> h=6, 3 ghost rows in the last shard.
-        im1, im2 = make_pair(45, 32)
+    @pytest.mark.parametrize("h_img,nty", [(45, 8), (28, 8), (34, 8), (35, 8), (20, 6)])
+    def test_ragged_height_ghost_rows(self, h_img, nty):
+        # H=45/nty=8 -> h=6, 3 ghost rows in the last shard (partial ghost).
+        # H in {28,34,35}/nty=8 and H=20/nty=6 create FULLY-ghost shards
+        # ((nty-1)*h >= H) with h >= 4 — the regime where the r4 halo fast
+        # path went stale (ADVICE r4 high): these must route through the
+        # gather construction and still match single-chip to 1e-10.
+        im1, im2 = make_pair(h_img, 32)
         u0, v0, _ = coarse2fine_flow_chw(im1, im2, 2, PARAMS)
-        mesh = jax.sharding.Mesh(np.array(jax.devices()).reshape(8), ("ty",))
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:nty]).reshape(nty), ("ty",))
         u1, v1, _ = tiled_coarse2fine_flow(im1, im2, 2, PARAMS, mesh)
         np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-10)
 
 
 def _collect_ppermute_depths(jaxpr, depth=0, out=None):
