@@ -176,6 +176,72 @@ def sor_solve_jnp(
     return jax.lax.fori_loop(0, n_iterations, body, (du0, dv0))
 
 
+# Probe-compile results for the fused whole-level kernel, keyed by the
+# full static configuration (same pattern as sor_dispatch._PLAN_PROBES):
+# Mosaic admission is calibrated against one toolchain, so the first real
+# use of a shape AOT-compiles it outside the enclosing jit and falls back
+# to the op-by-op path on rejection instead of crashing the program.
+_FUSED_PROBES: dict = {}
+
+
+def _probe_fused_level(c, h, w, img_dtype, flow_dtype,
+                       n_outer, n_inner, n_sor, params) -> bool:
+    from ..ops.pallas import level_fused as lf
+
+    if lf._INTERPRET:
+        return True
+    key = (c, h, w, jnp.dtype(img_dtype).str, jnp.dtype(flow_dtype).str,
+           n_outer, n_inner, n_sor)
+    hit = _FUSED_PROBES.get(key)
+    if hit is not None:
+        return hit
+    try:
+        feat = jax.ShapeDtypeStruct((c, h, w), img_dtype)
+        flow = jax.ShapeDtypeStruct((h, w), flow_dtype)
+        lf._fused_level_call.lower(
+            feat, feat, feat, flow, flow,
+            n_outer=n_outer, n_inner=n_inner, n_sor=n_sor,
+            alpha=params.alpha, omega=params.omega,
+            eps_phi=params.varepsilon_phi, eps_psi=params.varepsilon_psi,
+            diag_scale=params.diag_reg_scale,
+            compat=params.compat_laplacian_borders,
+        ).compile()
+        ok = True
+    except Exception:
+        ok = False
+    _FUSED_PROBES[key] = ok
+    return ok
+
+
+def _use_fused_level(im1, u, n_outer, n_inner, n_sor, params, lap_para) -> bool:
+    """Gate for the fused whole-level kernel: default hot path only."""
+    from ..ops.pallas.level_fused import fused_level_fits
+    from .sor_dispatch import _pallas_available
+
+    if not (
+        params.use_fused_level
+        and params.interpolation == Interpolation.BILINEAR
+        and params.noise_model == NoiseModel.LAPLACIAN
+        and not params.estimate_laplacian_noise
+        and lap_para is None
+        and params.solver == "sor"
+        and params.sor_red_black
+        and u.ndim == 2
+        and im1.ndim == 3
+    ):
+        return False
+    c, h, w = im1.shape
+    if not fused_level_fits(c, h, w, im1.dtype):
+        return False
+    from ..ops.pallas import level_fused as lf
+
+    if not (_pallas_available() or lf._INTERPRET):
+        return False
+    return _probe_fused_level(
+        c, h, w, im1.dtype, u.dtype, n_outer, n_inner, n_sor, params
+    )
+
+
 def smooth_flow_sor(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
@@ -197,6 +263,14 @@ def smooth_flow_sor(
     from .sor_dispatch import sor_solve  # late import to avoid cycle
 
     from ..ops.interp import pack_patch2x2, should_prebuild_pack
+
+    if _use_fused_level(im1, u, n_outer, n_inner, n_sor, params, lap_para):
+        from ..ops.pallas.level_fused import smooth_flow_level_fused
+
+        u, v, warp_im2 = smooth_flow_level_fused(
+            im1, im2, warp_im2, u, v, n_outer, n_inner, n_sor, params
+        )
+        return u, v, warp_im2, None
 
     # im2 is warped once per outer iteration with the updated flow; its 2x2
     # patch pack is flow-independent, so build it once for the whole level

@@ -117,11 +117,14 @@ def _bicubic_pallas_adaptive(ref, stack4, vx, vy):
     """Displacement-adaptive Hermite warp via the Pallas VPU kernel; the
     serial gather path handles flows beyond the window margin (same
     contract as ``interp._warp_pallas_adaptive``)."""
-    from .interp import _PALLAS_MARGIN_BICUBIC, _pallas_margins_for
-    from .pallas.warp import warp_bicubic_pallas
+    from .interp import (
+        _PALLAS_MARGIN_BICUBIC,
+        _pallas_margins_for,
+        _strip_dy_fields,
+    )
+    from .pallas.warp import spread_margin_for, warp_bicubic_pallas
 
     c4, h, w = stack4.shape
-    i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     x = jnp.arange(w, dtype=jnp.float32)[None, :] + vx
     y = jnp.arange(h, dtype=jnp.float32)[:, None] + vy
@@ -129,28 +132,35 @@ def _bicubic_pallas_adaptive(ref, stack4, vx, vy):
     y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
     x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
     zero = jnp.zeros((), jnp.int32)
-    dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0 - i)))
+    # Round 5: rebased windows — the bucket bounds each strip's
+    # displacement SPREAD, not the absolute flow (see
+    # interp._warp_pallas_adaptive / warp._scalar_rows).
+    mn0, spread = _strip_dy_fields(oob, y0, h, w)
     # Column exactness bound of the 5-block decomposition (|x0-j|<=255),
     # independent of the row margin — see interp._warp_pallas_adaptive.
     # The bicubic window holds 12 planes, so VMEM caps its row margin.
     dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0 - j)))
     margins = _pallas_margins_for(h, cap=_PALLAS_MARGIN_BICUBIC)
-    bucket = sum((dy > m).astype(jnp.int32) for m in margins)
+    bucket = sum(
+        (spread > spread_margin_for(m)).astype(jnp.int32) for m in margins
+    )
     bucket = jnp.where(dx > 255, len(margins), bucket)
 
     def pallas_branch(m):
-        def f(ref, stack4, vx, vy):
-            return warp_bicubic_pallas(ref, stack4, vx, vy, margin=m)
+        def f(ref, stack4, vx, vy, mn0):
+            return warp_bicubic_pallas(
+                ref, stack4, vx, vy, margin=m, dymin=mn0
+            )
 
         return f
 
-    def serial_branch(ref, stack4, vx, vy):
+    def serial_branch(ref, stack4, vx, vy, mn0):
         return _serial_hermite(ref, stack4, vx, vy, ref.dtype)
 
     return jax.lax.switch(
         bucket,
         [pallas_branch(m) for m in margins] + [serial_branch],
-        ref, stack4, vx, vy,
+        ref, stack4, vx, vy, mn0,
     )
 
 

@@ -750,25 +750,49 @@ def _use_pallas_warp(img: jnp.ndarray) -> bool:
     return backend == "tpu"
 
 
+def _strip_dy_fields(oob, y0, h: int, w: int):
+    """Per-strip displacement anchors for the REBASED warp windows
+    (round 5): ``mn0[s] = min(trunc(y) - i)`` over strip ``s``'s in-bounds
+    pixels and the worst within-strip spread ``max(y1 - i) - mn0``.
+    OOB pixels are neutralized to 0 (their accumulate is discarded)."""
+    from .pallas.warp import TB
+
+    ns = -(-h // TB)
+    zero = jnp.zeros((), jnp.int32)
+    i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    r0 = jnp.where(oob, zero, y0 - i)
+    r1 = jnp.where(oob, zero, jnp.clip(y0 + 1, 0, h - 1) - i)
+    hp = ns * TB
+    if hp != h:
+        r0 = jnp.pad(r0, ((0, hp - h), (0, 0)))
+        r1 = jnp.pad(r1, ((0, hp - h), (0, 0)))
+    mn0 = r0.reshape(ns, TB, w).min(axis=(1, 2))
+    mx1 = r1.reshape(ns, TB, w).max(axis=(1, 2))
+    return mn0, jnp.max(mx1 - mn0)
+
+
 @jax.custom_batching.custom_vmap
 def _warp_pallas_adaptive(im1, im2, vx, vy):
     """Displacement-adaptive full warp via the Pallas VPU kernel.
 
-    The kernel is exact iff every in-bounds sample's integer VERTICAL
-    displacement is within the window margin (columns are full-width, so
-    any horizontal flow is covered); the bound is measured on device and
-    flows that exceed it fall back to the serial 4-corner gather — an
+    Round 5: windows are REBASED per strip (anchored at each strip's
+    measured displacement floor, ``warp.py _scalar_rows``), so the kernel
+    is exact iff every strip's within-strip vertical displacement SPREAD
+    fits the window (``spread_margin_for``) — any uniform flow magnitude
+    is covered, and the serial fallback fires only for strips whose
+    displacements themselves span > ~136 px (unseen on real data; the r4
+    magnitude-based ladder sent every > 96 px pair to the ~3x serial
+    path).  The bound is measured on device; the fallback is an
     optimization switch, never a semantics change.  (bf16 note: both
     branches are valid warps but round differently — the kernel
     accumulates in f32, within 1 bf16 ulp of the serial path and ~2x
     closer to the f64 truth.)"""
-    from .pallas.warp import warp_bilinear_pallas
+    from .pallas.warp import spread_margin_for, warp_bilinear_pallas
 
     h, w = im2.shape[-2], im2.shape[-1]
     ftype = jnp.float32
     vxf = vx.astype(ftype)
     vyf = vy.astype(ftype)
-    i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     x = jnp.arange(w, dtype=ftype)[None, :] + vxf
     y = jnp.arange(h, dtype=ftype)[:, None] + vyf
@@ -776,22 +800,26 @@ def _warp_pallas_adaptive(im1, im2, vx, vy):
     y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
     x0 = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, w - 1)
     zero = jnp.zeros((), jnp.int32)
-    dy = jnp.max(jnp.where(oob, zero, jnp.abs(y0 - i)))
+    mn0, spread = _strip_dy_fields(oob, y0, h, w)
     # The kernel's 5-aligned-block column decomposition is exact only for
     # horizontal integer displacements within two blocks (|x0 - j| <=
     # 255) — independent of the row margin.
     dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0 - j)))
     margins = _pallas_margins_for(h)
-    bucket = sum((dy > m).astype(jnp.int32) for m in margins)
+    bucket = sum(
+        (spread > spread_margin_for(m)).astype(jnp.int32) for m in margins
+    )
     bucket = jnp.where(dx > 255, len(margins), bucket)
 
     def pallas_branch(m):
-        def f(im1, im2, vxf, vyf):
-            return warp_bilinear_pallas(im1, im2, vxf, vyf, margin=m)
+        def f(im1, im2, vxf, vyf, mn0):
+            return warp_bilinear_pallas(
+                im1, im2, vxf, vyf, margin=m, dymin=mn0
+            )
 
         return f
 
-    def serial_branch(im1, im2, vxf, vyf):
+    def serial_branch(im1, im2, vxf, vyf, mn0):
         xx = jnp.arange(w, dtype=ftype)[None, :] + vxf
         yy = jnp.arange(h, dtype=ftype)[:, None] + vyf
         bad = (xx < 0) | (xx > w - 1) | (yy < 0) | (yy > h - 1)
@@ -800,7 +828,7 @@ def _warp_pallas_adaptive(im1, im2, vx, vy):
     return jax.lax.switch(
         bucket,
         [pallas_branch(m) for m in margins] + [serial_branch],
-        im1, im2, vxf, vyf,
+        im1, im2, vxf, vyf, mn0,
     )
 
 

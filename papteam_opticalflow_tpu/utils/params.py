@@ -111,6 +111,16 @@ class FlowParams:
     # vs float32 — far inside the 0.1 px budget, but NOT bit-parity; keep
     # the default for oracle comparisons).
     image_dtype: str = "float32"
+    # Run small pyramid levels through the fused whole-level Pallas kernel
+    # (``ops/pallas/level_fused.py``): ALL outer fixed-point iterations of
+    # a level — warp feedback, getDxs, system assembly, every SOR sweep —
+    # in one kernel launch.  The coarse tail (levels >= 7 at 1920px) is
+    # per-op-overhead-bound, ~22 ms of the r4 pair (VERDICT r4 #1); the
+    # fused kernel collapses those thousands of tiny ops.  Applies only on
+    # the default hot path (bilinear warp feedback, Laplacian noise model
+    # without per-iteration estimation, red-black SOR); other configs keep
+    # the composable op-by-op path.
+    use_fused_level: bool = True
     # Trace-time unroll of the outer fixed-point loop for levels whose
     # ``n_outer <= unroll_outer_max_n`` (the FINEST levels — level k runs
     # ``7 + k`` outer iterations, so the default 8 unrolls levels 0-1).

@@ -232,6 +232,95 @@ class TestBicubicKernel:
         )
 
 
+class TestRebasedWindows:
+    """Round 5: windows anchor at each strip's displacement floor, so
+    uniform violent flows stay on the kernel (the r4 ladder sent every
+    > 96 px pair to the ~3x serial path) and only pathological
+    within-strip SPREAD falls back."""
+
+    def test_uniform_violent_flow_stays_on_kernel(self, monkeypatch):
+        c, h, w = 2, 256, 384
+        rng = np.random.default_rng(9)
+        im1 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        im2 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        vx = jnp.asarray(rng.uniform(-3, 3, (h, w)), jnp.float32)
+        # ~150 px uniform downward flow + small texture: far beyond every
+        # ladder margin, tiny within-strip spread.
+        vy = jnp.asarray(
+            -150.0 + rng.uniform(-2, 2, (h, w)), jnp.float32
+        )
+        ref = xla_warp(im1, im2, vx, vy)
+        # Poison the serial branch: if the adaptive wrapper fell back,
+        # the output would be garbage and the comparison would fail.
+        monkeypatch.setattr(
+            interp, "bilinear_gather",
+            lambda img, x, y: jnp.full(
+                (*img.shape[:-2], *x.shape), jnp.nan, img.dtype
+            ),
+        )
+        out = interp._warp_pallas_adaptive(im1, im2, vx, vy)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=3e-7
+        )
+
+    def test_extreme_spread_falls_back(self):
+        # Displacement spread WITHIN strips beyond the window budget must
+        # still route to the serial branch (exact, modulo FMA).
+        c, h, w = 1, 128, 256
+        rng = np.random.default_rng(13)
+        im1 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        im2 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        vx = jnp.zeros((h, w), jnp.float32)
+        # Alternate +-90 px within every strip: spread ~180 > the 96-rung
+        # budget (spread_margin_for(96) = 200 at TB=32... pick +-110).
+        rows = np.where((np.arange(h) % 2) == 0, 110.0, -110.0)
+        vy = jnp.asarray(np.broadcast_to(rows[:, None], (h, w)), jnp.float32)
+        out = interp._warp_pallas_adaptive(im1, im2, vx, vy)
+        ref = xla_warp(im1, im2, vx, vy)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=3e-7
+        )
+
+    def test_rebased_kernel_exact_vs_xla(self):
+        # Direct kernel call with per-strip anchors on a mixed flow.
+        c, h, w = 3, 192, 256
+        im1, im2, vx, vy = make_case(c, h, w, 8.0, jnp.float32, seed=17)
+        vy = vy + 40.0  # uniform offset beyond the 24-margin
+        i = jnp.arange(h, dtype=jnp.float32)[:, None]
+        y = i + vy
+        oob = (y < 0) | (y > h - 1)
+        y0 = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, h - 1)
+        mn0, spread = interp._strip_dy_fields(
+            oob | (jnp.arange(w)[None, :] + vx < 0)
+            | (jnp.arange(w)[None, :] + vx > w - 1), y0, h, w
+        )
+        assert int(spread) <= pwarp.spread_margin_for(24)
+        out = pwarp.warp_bilinear_pallas(im1, im2, vx, vy, margin=24,
+                                         dymin=mn0)
+        ref = xla_warp(im1, im2, vx, vy)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=3e-7
+        )
+
+    def test_bicubic_uniform_violent_flow(self, monkeypatch):
+        from papteam_opticalflow_tpu.ops import bicubic
+
+        c, h, w = 2, 192, 256
+        rng = np.random.default_rng(23)
+        im1 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        im2 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        vx = jnp.asarray(rng.uniform(-2, 2, (h, w)), jnp.float32)
+        vy = jnp.asarray(90.0 + rng.uniform(-2, 2, (h, w)), jnp.float32)
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "off")
+        want = bicubic.warp_bicubic_ref(im1, im2, vx, vy)
+        monkeypatch.setattr(interp, "_PALLAS_WARP", "on")
+        monkeypatch.setattr(interp, "_PALLAS_WARP_MIN_BYTES", 1)
+        got = bicubic.warp_bicubic_ref(im1, im2, vx, vy)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=5e-6
+        )
+
+
 class TestColumnBoundGuard:
     def test_horizontal_violent_flow_falls_back(self):
         # |dx| >= 128 breaks the kernel's 3-aligned-block column
