@@ -305,6 +305,53 @@ def op_breakdown(width_px: int, levels: int, dtype_name: str):
     return t
 
 
+def machine_sentinel():
+    """Fixed reference kernel timed alongside every headline run (VERDICT
+    r4 weak #5): identical code measured 174.7-183.6 ms across one session
+    (machine-state drift ~5-8%), so a future regression < ~10 ms cannot be
+    attributed without an independent drift indicator.  This times a
+    fixed-shape chained roll+FMA loop (the SOR sweep's instruction mix) at
+    a PINNED shape/trip count via trip-count differencing; its per-iter
+    time moves with machine state but never with framework code, so
+    ``headline / sentinel`` is drift-normalized across rounds.
+
+    r5 calibration on idle v5e: ~0.50 ms/iter (record kept in
+    BENCH_EXTRAS.json and in the headline JSON as sentinel_ms_per_iter).
+    """
+    shape = (1024, 1920)  # fixed forever — do not scale with BENCH_CONFIG
+
+    @jax.jit
+    def chain(x, n):
+        def body(_, c):
+            a, b = c
+            a = a * np.float32(0.9999) + jnp.roll(b, 1, axis=0)
+            b = b * np.float32(0.9999) + jnp.roll(a, 1, axis=1)
+            return a, b
+
+        a, b = jax.lax.fori_loop(0, n, body, (x, x * np.float32(0.5)))
+        return jnp.sum(a) + jnp.sum(b)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random(shape, dtype=np.float32))
+
+    def run(n):
+        float(chain(x, jnp.int32(n)))
+
+    run(3)  # compile + warm
+    lo, hi, best_lo, best_hi = 3, 43, float("inf"), float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(lo)
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(hi)
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    per_iter = max(best_hi - best_lo, 1e-9) / (hi - lo)
+    log(f"machine sentinel: {per_iter * 1e3:.3f} ms/iter (fixed 1024x1920 "
+        f"roll+FMA chain; drift indicator, code-invariant)")
+    return round(per_iter * 1e3, 4)
+
+
 class _Watchdog(Exception):
     pass
 
@@ -344,6 +391,10 @@ def main():
             signal.alarm(per_attempt_s)
             result = bench_config(w_px, lv, iters, batch=bb)
             result["dtype"] = dtype_name + "-images/float32-solver"
+            try:
+                result["sentinel_ms_per_iter"] = machine_sentinel()
+            except Exception as e:  # noqa: BLE001
+                log(f"sentinel failed ({e}); headline kept")
             signal.alarm(0)
             # Utilization-honest extras (VERDICT r1 item 3, r2 tasks 1/2/5/7);
             # never let them sink a successful headline measurement.  Each

@@ -48,9 +48,15 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   std::longjmp(err->jump, 1);
 }
 
-// Decode one JPEG into caller memory as CHW float32 [0,1].
-bool decode_jpeg(const std::string& path, float* out, int64_t max_elems,
-                 int* h, int* w, int* c, std::string* error) {
+// Decode one JPEG into caller memory: CHW float32 [0,1] (out != null) or
+// CHW uint8 raw (out_u8 != null).  The uint8 mode exists for the serving
+// path: the TPU normalizes on device (u8/255 traced divide), and shipping
+// u8 avoids both 4x the link bytes AND the ~47 ms/frame host-side
+// float->u8 conversion that otherwise serializes inside the sweep loop
+// (measured r5, tools/overlap_probe.py).
+bool decode_jpeg_impl(const std::string& path, float* out, uint8_t* out_u8,
+                      int64_t max_elems, int* h, int* w, int* c,
+                      std::string* error) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) {
     *error = "cannot open " + path;
@@ -97,9 +103,14 @@ bool decode_jpeg(const std::string& path, float* out, int64_t max_elems,
     jpeg_read_scanlines(&cinfo, &rowp, 1);
     // interleaved row -> planar CHW
     for (int k = 0; k < C; ++k) {
-      float* dst = out + (size_t)k * H * W + (size_t)y * W;
       const unsigned char* src = rowp + k;
-      for (int x = 0; x < W; ++x) dst[x] = (float)src[(size_t)x * C] * inv;
+      if (out) {
+        float* dst = out + (size_t)k * H * W + (size_t)y * W;
+        for (int x = 0; x < W; ++x) dst[x] = (float)src[(size_t)x * C] * inv;
+      } else {
+        uint8_t* dst = out_u8 + (size_t)k * H * W + (size_t)y * W;
+        for (int x = 0; x < W; ++x) dst[x] = src[(size_t)x * C];
+      }
     }
   }
   jpeg_finish_decompress(&cinfo);
@@ -108,11 +119,23 @@ bool decode_jpeg(const std::string& path, float* out, int64_t max_elems,
   return true;
 }
 
+bool decode_jpeg(const std::string& path, float* out, int64_t max_elems,
+                 int* h, int* w, int* c, std::string* error) {
+  return decode_jpeg_impl(path, out, nullptr, max_elems, h, w, c, error);
+}
+
+bool decode_jpeg_u8(const std::string& path, uint8_t* out, int64_t max_elems,
+                    int* h, int* w, int* c, std::string* error) {
+  return decode_jpeg_impl(path, nullptr, out, max_elems, h, w, c, error);
+}
+
 struct Job {
   int ticket;
   std::string path_a, path_b;
-  float* out_a;
-  float* out_b;
+  float* out_a = nullptr;       // f32 mode
+  float* out_b = nullptr;
+  uint8_t* out_a_u8 = nullptr;  // u8 mode (serving path)
+  uint8_t* out_b_u8 = nullptr;
   int64_t max_elems;
 };
 
@@ -157,12 +180,12 @@ struct Loader {
         queue.pop_front();
       }
       Result r;
-      r.ok = decode_jpeg(job.path_a, job.out_a, job.max_elems, &r.h, &r.w,
-                         &r.c, &r.error);
+      r.ok = decode_jpeg_impl(job.path_a, job.out_a, job.out_a_u8,
+                              job.max_elems, &r.h, &r.w, &r.c, &r.error);
       if (r.ok) {
         int h2, w2, c2;
-        r.ok = decode_jpeg(job.path_b, job.out_b, job.max_elems, &h2, &w2,
-                           &c2, &r.error);
+        r.ok = decode_jpeg_impl(job.path_b, job.out_b, job.out_b_u8,
+                                job.max_elems, &h2, &w2, &c2, &r.error);
         if (r.ok && (h2 != r.h || w2 != r.w || c2 != r.c)) {
           r.ok = false;
           r.error = "frame size mismatch in pair";
@@ -177,11 +200,20 @@ struct Loader {
   }
 
   int submit(const char* a, const char* b, float* out_a, float* out_b,
-             int64_t max_elems) {
+             uint8_t* out_a_u8, uint8_t* out_b_u8, int64_t max_elems) {
     std::lock_guard<std::mutex> lk(mu);
     if (stopping) return -1;
     int t = next_ticket++;
-    queue.push_back(Job{t, a, b, out_a, out_b, max_elems});
+    Job job;
+    job.ticket = t;
+    job.path_a = a;
+    job.path_b = b;
+    job.out_a = out_a;
+    job.out_b = out_b;
+    job.out_a_u8 = out_a_u8;
+    job.out_b_u8 = out_b_u8;
+    job.max_elems = max_elems;
+    queue.push_back(std::move(job));
     cv_submit.notify_one();
     return t;
   }
@@ -224,7 +256,23 @@ void ofl_destroy(void* loader) { delete static_cast<Loader*>(loader); }
 int ofl_submit(void* loader, const char* path_a, const char* path_b,
                float* out_a, float* out_b, int64_t max_elems) {
   return static_cast<Loader*>(loader)->submit(path_a, path_b, out_a, out_b,
-                                              max_elems);
+                                              nullptr, nullptr, max_elems);
+}
+
+int ofl_decode_u8(const char* path, uint8_t* out, int* h, int* w, int* c,
+                  int64_t max_elems, char* errbuf, int errlen) {
+  std::string err;
+  if (!decode_jpeg_u8(path, out, max_elems, h, w, c, &err)) {
+    if (errbuf && errlen > 0) std::snprintf(errbuf, errlen, "%s", err.c_str());
+    return -1;
+  }
+  return 0;
+}
+
+int ofl_submit_u8(void* loader, const char* path_a, const char* path_b,
+                  uint8_t* out_a, uint8_t* out_b, int64_t max_elems) {
+  return static_cast<Loader*>(loader)->submit(path_a, path_b, nullptr, nullptr,
+                                              out_a, out_b, max_elems);
 }
 
 int ofl_wait(void* loader, int ticket, int* h, int* w, int* c, char* errbuf,

@@ -109,16 +109,28 @@ def _flow_u8_jit(levels: int, params: FlowParams):
     return lambda a, b: jitted(a, b, scale)
 
 
-def _frame_to_device_u8(arr_f32, key, cache: dict):
-    """Host f32 [0,1] frame -> device uint8, cached by frame key so the
-    shared frame of consecutive video pairs transfers ONCE (pair k's
-    ``after`` is pair k+1's ``before`` — halves link traffic again).
-    ``np.rint(x * 255)`` inverts the loaders' ``u8 / 255`` exactly."""
+def _frame_to_device_u8(arr, key, cache: dict):
+    """Host frame -> device uint8, cached by frame key so the shared frame
+    of consecutive video pairs transfers ONCE (pair k's ``after`` is pair
+    k+1's ``before`` — halves link traffic again).
+
+    The serving path feeds raw uint8 straight from the JPEG decoder
+    (``PrefetchingPairLoader(dtype=np.uint8)``): the r4 f32 path spent
+    ~47 ms/frame of host numpy on ``rint(x*255)`` — measured r5, the whole
+    steady-state gap between the sweep (190 ms) and the pipelined engine
+    (~145 ms).  f32 input still converts here (exact inverse of ``u8/255``)
+    for callers without a u8 loader.  ``jnp.asarray`` of the u8 buffer is
+    an async put (~13 ms return, tools/overlap_probe.py) whose wire time
+    rides under the in-flight previous pair; the loader ring keeps the
+    host buffer alive for depth-1 iterations, far longer than the
+    transfer."""
     import jax.numpy as jnp
 
     dev = cache.get(key)
     if dev is None:
-        dev = jnp.asarray(np.rint(arr_f32 * 255.0).astype(np.uint8))
+        if arr.dtype != np.uint8:
+            arr = np.rint(arr * 255.0).astype(np.uint8)
+        dev = jnp.asarray(arr)
         cache[key] = dev
         while len(cache) > 4:
             cache.pop(next(iter(cache)))
@@ -327,7 +339,13 @@ def run_sweep(args) -> dict:
                 todo = [p for p in pairs if key_of(p) not in done]
                 stats["skipped"] += len(pairs) - len(todo)
                 gif_frames = []
-                loader = PrefetchingPairLoader(n_threads=args.loader_threads)
+                # Single-pair sweeps decode straight to uint8 (device-side
+                # normalize); batch/mesh paths keep f32 host stacking.
+                loader = PrefetchingPairLoader(
+                    n_threads=args.loader_threads,
+                    dtype=np.uint8 if (mesh is None and batch == 1)
+                    else np.float32,
+                )
                 frames = loader.iter_pairs(
                     [(p.before.path, p.after.path) for p in todo]
                 )

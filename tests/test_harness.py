@@ -292,6 +292,38 @@ class TestNativeLoader:
             np.testing.assert_allclose(a, decode_chw(pa), atol=1e-6)
             np.testing.assert_allclose(b, decode_chw(pb), atol=1e-6)
 
+    @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
+    def test_u8_decode_is_raw_bytes(self):
+        # The serving path decodes straight to uint8 (device-side /255):
+        # the bytes must be EXACTLY the decoder's output — i.e. u8/255
+        # reproduces the f32 loader bit-for-bit (u8 values are exact in
+        # f32, and the harness normalize divides by a traced 255).
+        from papteam_opticalflow_tpu.data.native_loader import (
+            PrefetchingPairLoader, decode_chw, native_available,
+        )
+
+        gen = FramePairGenerator(REF_ROOT)
+        pairs = gen.pairs_from_collection("HoChiMinhTraffic_10FPS_240")[:3]
+        pp = [(p.before.path, p.after.path) for p in pairs]
+        p0 = pp[0][0]
+        u8 = decode_chw(p0, dtype=np.uint8)
+        assert u8.dtype == np.uint8
+        from PIL import Image
+
+        pil = np.moveaxis(np.asarray(Image.open(p0)), -1, 0)
+        np.testing.assert_array_equal(u8, pil)
+        if not native_available():
+            pytest.skip("native loader not built")
+        with PrefetchingPairLoader(
+            n_threads=2, depth=3, copy=True, dtype=np.uint8
+        ) as loader:
+            out = list(loader.iter_pairs(pp))
+        assert len(out) == 3
+        for (pa, pb), (a, b) in zip(pp, out):
+            assert a.dtype == np.uint8 and b.dtype == np.uint8
+            np.testing.assert_array_equal(a, decode_chw(pa, dtype=np.uint8))
+            np.testing.assert_array_equal(b, decode_chw(pb, dtype=np.uint8))
+
     def test_native_decode_error(self, tmp_path):
         from papteam_opticalflow_tpu.data.native_loader import (
             decode_chw, native_available,
