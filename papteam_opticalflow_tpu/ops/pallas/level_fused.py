@@ -57,10 +57,15 @@ from .rb_pack import make_packed_sweep, make_packed_weights
 _INTERPRET = False
 
 # Admission: lane blocks (packed halves span <= 2 vreg-columns ->
-# wp <= 384) and a VMEM footprint envelope (~55 plane-equivalents live
-# across the outer body at C=5).
-_MAX_NJ = 3
-_MAX_AREA = 80_000  # h * wp elements per plane (level 6 @1920: 192*384)
+# wp <= 512) and a VMEM footprint envelope (~55 plane-equivalents live
+# across the outer body at C=5: 140k * 4 B * 55 ~= 31 MB, comfortably
+# inside v5e VMEM).  r5 extension 3/80k -> 4/140k admits level 5 @1920
+# (256x455), level 3 @960 (228x405) and the FINEST level @480 (270x480)
+# — measured per-level wins on v5e (fused vs op-by-op XLA, see
+# tools/exp_fused_extent.py): the whole 480px pair collapses to fused
+# kernels end to end.
+_MAX_NJ = 4
+_MAX_AREA = 140_000  # h * wp elements per plane (level 5 @1920: 256*512)
 
 
 def fused_level_fits(c: int, h: int, w: int, dtype) -> bool:
@@ -128,8 +133,8 @@ def _level_kernel(
     def gxh(blocks, idx128):
         """One output block of ``plane[i, idx[i, j]]``: single-vreg lane
         gathers from each source block, selected by ``idx // 128`` masks
-        (warp.py ``_apply_column_blocks`` analogue, ungated — nj <= 2
-        keeps the constant factor small)."""
+        (warp.py ``_apply_column_blocks`` analogue, ungated — nj <= 4
+        keeps the constant factor modest)."""
         acc = None
         for sb, blk in enumerate(blocks):
             g = jnp.take_along_axis(
@@ -331,9 +336,16 @@ def _level_kernel(
     # ceil(w_pad / 2)``, materialized through the VMEM scratch ref: a
     # multi-vreg plane built from computed blocks would need a lane
     # concat, which Mosaic rejects on computed values (module docstring).
-    # Columns beyond the true packed width hold clamp copies of the edge
-    # (finite; every weight toward or from them is border-masked, the
-    # same garbage-column contract as the sanitized lane padding).
+    # Columns beyond the true packed width hold NEUTRAL values (phi/
+    # cross-term/rhs 0, denominators 1) — NOT clamp copies of the edge:
+    # garbage columns iterate under the sweep too, and with copied
+    # weights/denominators that iteration is not contractive — measured
+    # on real 960px data it grows ~6x/sweep and overflows to inf by
+    # ~sweep 50, after which masked-zero weights turn inf into NaN in
+    # REAL lanes (the r5 960px P8/P15 divergence).  With neutral
+    # coefficients the garbage update is ``(1-omega) * du + omega *
+    # (bounded forcing)`` — |1-omega| = 0.8 < 1, so garbage stays finite
+    # forever and border-masked weights keep it out of real points.
     par = ii % 2
     evrow_b = par == 0                  # per-block (h, 128) row parity
     w2p = njp * 128
@@ -341,19 +353,24 @@ def _level_kernel(
     jj2 = jax.lax.broadcasted_iota(jnp.int32, (h, w2p), 1)
     evrow2 = (gi2 % 2) == 0
 
-    def pack_to_scratch(k, blocks):
+    def pack_to_scratch(k, blocks, neutral=0.0):
         """Write plane ``blocks``'s red/black halves to scratch planes
-        ``2k`` / ``2k + 1``."""
+        ``2k`` / ``2k + 1``; packed columns beyond the true width get
+        ``neutral`` (see the garbage-column note above)."""
         for pb in range(njp):
             jpb = j0 + pb * 128
             col_r = 2 * jpb + par
             col_b = 2 * jpb + 1 - par
             sl = slice(pb * 128, (pb + 1) * 128)
-            scratch_ref[2 * k, :, sl] = gxh(
-                blocks, jnp.minimum(col_r, wp - 1)
+            scratch_ref[2 * k, :, sl] = jnp.where(
+                col_r < w,
+                gxh(blocks, jnp.minimum(col_r, wp - 1)),
+                t(neutral),
             )
-            scratch_ref[2 * k + 1, :, sl] = gxh(
-                blocks, jnp.minimum(col_b, wp - 1)
+            scratch_ref[2 * k + 1, :, sl] = jnp.where(
+                col_b < w,
+                gxh(blocks, jnp.minimum(col_b, wp - 1)),
+                t(neutral),
             )
 
     def unpack_from_scratch(r_k, b_k):
@@ -441,8 +458,8 @@ def _level_kernel(
 
         pack_to_scratch(0, san(phi, 0.0))
         pack_to_scratch(1, san(imdxy, 0.0))
-        pack_to_scratch(2, san(denx, 1.0))
-        pack_to_scratch(3, san(deny, 1.0))
+        pack_to_scratch(2, san(denx, 1.0), neutral=1.0)
+        pack_to_scratch(3, san(deny, 1.0), neutral=1.0)
         pack_to_scratch(4, san(rhs_x, 0.0))
         pack_to_scratch(5, san(rhs_y, 0.0))
         phi_r, phi_b = scratch_ref[0], scratch_ref[1]

@@ -51,6 +51,8 @@ class TestFusedLevelParity:
             (5, 33, 150, 1.5, 4, 1, 10), # odd width, lane padding
             (5, 48, 300, 2.0, 2, 1, 6),  # nj=3 (two-vreg packed halves)
             (5, 40, 384, 1.0, 2, 1, 5),  # w == wp == 384 (nj=3 boundary)
+            (5, 24, 450, 2.0, 2, 1, 5),  # nj=4 (r5 extent: level5@1920 shape class)
+            (5, 20, 512, 1.0, 2, 1, 4),  # w == wp == 512 (nj=4 boundary)
         ],
     )
     def test_matches_op_by_op_path(self, c, h, w, fscale, no, ni, ns):
@@ -61,6 +63,34 @@ class TestFusedLevelParity:
         np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=5e-9)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=5e-9)
         np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=5e-9)
+
+    def test_garbage_columns_stay_finite_at_high_sweep_counts(self):
+        # Regression (r5): packed scratch planes are w2p = njp*128 wide,
+        # and the columns beyond the true packed width ceil(w/2) iterate
+        # under the SOR sweep too.  With clamp-copied coefficients that
+        # garbage iteration is non-contractive — on real 960px data it
+        # grew ~6x/sweep, overflowed to inf by ~sweep 50, and the
+        # masked-zero weights turned it into NaN across REAL lanes (the
+        # 960px P8/P15 grid divergence).  This pins the f32 kernel at a
+        # garbage-column shape (w=128 -> packed width 64, w2p=128) with a
+        # sweep count long past the observed blow-up point; the pre-fix
+        # kernel NaNs here deterministically.
+        rng = np.random.default_rng(11)
+        c, h, w = 5, 71, 128
+        f1 = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        f2 = jnp.asarray(np.roll(np.asarray(f1), 2, axis=2) * 0.95 + 0.02)
+        u = jnp.asarray((rng.random((h, w)) * 2 - 1) * 0.8, jnp.float32)
+        v = jnp.asarray((rng.random((h, w)) * 2 - 1) * 0.8, jnp.float32)
+        uf, vf, wf = lf.smooth_flow_level_fused(f1, f2, f2, u, v, 3, 1, 200, FUSED)
+        assert bool(jnp.isfinite(uf).all())
+        assert bool(jnp.isfinite(vf).all())
+        assert bool(jnp.isfinite(jnp.asarray(wf, jnp.float32)).all())
+        u0, v0, _, _ = smooth_flow_sor(
+            f1, f2, f2, u, v, 3, 1, 200, PLAIN
+        )
+        np.testing.assert_allclose(
+            np.asarray(uf), np.asarray(u0), atol=5e-4
+        )  # f32, 3 outers x 200 sweeps: FMA/reduction-order drift only
 
     def test_full_pipeline_parity(self):
         from papteam_opticalflow_tpu.models.coarse2fine import coarse2fine_flow_chw
@@ -106,10 +136,15 @@ class TestFusedLevelGate:
         assert not _use_fused_level(feat1, u, 2, 1, 4, FUSED, lap)
 
     def test_rejects_big_levels(self):
-        assert not lf.fused_level_fits(5, 256, 455, jnp.float32)  # nj=4
+        assert not lf.fused_level_fits(5, 256, 520, jnp.float32)  # nj=5
         assert not lf.fused_level_fits(5, 600, 256, jnp.float32)  # area
         assert lf.fused_level_fits(5, 143, 256, jnp.float32)      # level 7
         assert lf.fused_level_fits(5, 192, 341, jnp.float32)      # level 6
+        # r5 extent (nj=4 / 140k): level 5 @1920, level 3 @960, finest @480
+        assert lf.fused_level_fits(5, 256, 455, jnp.float32)
+        assert lf.fused_level_fits(5, 228, 405, jnp.float32)
+        assert lf.fused_level_fits(5, 270, 480, jnp.float32)
+        assert not lf.fused_level_fits(5, 342, 607, jnp.float32)  # level 4 @1920
 
     def test_probe_failure_falls_back(self, monkeypatch):
         from papteam_opticalflow_tpu.models import solver as msolver
