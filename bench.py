@@ -315,8 +315,9 @@ def machine_sentinel():
     time moves with machine state but never with framework code, so
     ``headline / sentinel`` is drift-normalized across rounds.
 
-    r5 calibration on idle v5e: ~0.50 ms/iter (record kept in
-    BENCH_EXTRAS.json and in the headline JSON as sentinel_ms_per_iter).
+    r5 calibration on idle v5e: ~0.012 ms/iter (recorded in the headline
+    JSON as sentinel_ms_per_iter); trip counts sized so the differenced
+    interval is ~100 ms — comfortably above the few-ms platform noise.
     """
     shape = (1024, 1920)  # fixed forever — do not scale with BENCH_CONFIG
 
@@ -338,7 +339,7 @@ def machine_sentinel():
         float(chain(x, jnp.int32(n)))
 
     run(3)  # compile + warm
-    lo, hi, best_lo, best_hi = 3, 43, float("inf"), float("inf")
+    lo, hi, best_lo, best_hi = 100, 8100, float("inf"), float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         run(lo)

@@ -109,6 +109,30 @@ def _flow_u8_jit(levels: int, params: FlowParams):
     return lambda a, b: jitted(a, b, scale)
 
 
+@functools.lru_cache(maxsize=None)
+def _flow_u8_batch_jit(levels: int, params: FlowParams):
+    """Batched analogue of ``_flow_u8_jit``: uint8 frame stacks normalized
+    on device, then ``lax.map`` over pairs in one dispatch — the batch
+    path's link traffic drops 4x vs f32 stacking (e.g. 240px b=16: 3.1 MB
+    instead of 12.4 MB per dispatch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..parallel.batch import mapped_coarse2fine_flow
+
+    def f(a, b, scale):
+        return mapped_coarse2fine_flow(
+            a.astype(jnp.float32) / scale,
+            b.astype(jnp.float32) / scale,
+            levels, params,
+        )
+
+    jitted = jax.jit(f)
+    scale = np.float32(255.0)
+    return lambda a, b: jitted(a, b, scale)
+
+
 def _frame_to_device_u8(arr, key, cache: dict):
     """Host frame -> device uint8, cached by frame key so the shared frame
     of consecutive video pairs transfers ONCE (pair k's ``after`` is pair
@@ -191,7 +215,8 @@ def _flow_chw(im1_chw, im2_chw, levels: int, params: FlowParams):
 
 def _flow_chw_batch(im1s_chw, im2s_chw, levels: int, params: FlowParams):
     """A batch of pairs in ONE device dispatch (``lax.map`` on-chip);
-    returns (per-pair timing dicts, u stack, v stack, finites, max_flows)."""
+    returns (per-pair timing dicts, u stack, v stack, finites, max_flows).
+    uint8 frame stacks (the u8 loader path) normalize on device."""
     import jax
     import jax.numpy as jnp
 
@@ -199,12 +224,18 @@ def _flow_chw_batch(im1s_chw, im2s_chw, levels: int, params: FlowParams):
 
     stats_fn = _stats_jit(vmapped=True)
     start = time.perf_counter()
-    u, v, _w = mapped_coarse2fine_flow(
-        jnp.asarray(np.stack(im1s_chw)),
-        jnp.asarray(np.stack(im2s_chw)),
-        levels,
-        params,
-    )
+    if im1s_chw[0].dtype == np.uint8:
+        u, v, _w = _flow_u8_batch_jit(levels, params)(
+            jnp.asarray(np.stack(im1s_chw)),
+            jnp.asarray(np.stack(im2s_chw)),
+        )
+    else:
+        u, v, _w = mapped_coarse2fine_flow(
+            jnp.asarray(np.stack(im1s_chw)),
+            jnp.asarray(np.stack(im2s_chw)),
+            levels,
+            params,
+        )
     stats = np.asarray(stats_fn(u, v))  # (n, 2) barrier fetch
     per = (time.perf_counter() - start) / len(im1s_chw)
     timing = {
@@ -339,12 +370,17 @@ def run_sweep(args) -> dict:
                 todo = [p for p in pairs if key_of(p) not in done]
                 stats["skipped"] += len(pairs) - len(todo)
                 gif_frames = []
-                # Single-pair sweeps decode straight to uint8 (device-side
-                # normalize); batch/mesh paths keep f32 host stacking.
+                # Single-chip sweeps (single-pair AND batched) decode
+                # straight to uint8 (device-side normalize, 4x less link
+                # traffic); the mesh path keeps f32 host stacking.
+                # Ring depth: yielded arrays are VIEWS valid for depth-1
+                # further iterations, and the batch/mesh group loop holds
+                # up to ``batch`` views before stacking — size the ring so
+                # a full group is always live.
                 loader = PrefetchingPairLoader(
                     n_threads=args.loader_threads,
-                    dtype=np.uint8 if (mesh is None and batch == 1)
-                    else np.float32,
+                    depth=max(4, batch + 1),
+                    dtype=np.uint8 if mesh is None else np.float32,
                 )
                 frames = loader.iter_pairs(
                     [(p.before.path, p.after.path) for p in todo]

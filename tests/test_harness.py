@@ -293,6 +293,34 @@ class TestNativeLoader:
             np.testing.assert_allclose(b, decode_chw(pb), atol=1e-6)
 
     @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
+    def test_ring_views_live_for_depth_minus_one(self):
+        # Yielded arrays are ring VIEWS valid for depth-1 further
+        # iterations; a consumer that holds a whole batch group before
+        # stacking (the harness batch path) must size depth >= group+1.
+        # With depth=7 all 6 collected views must still hold their own
+        # pair's bytes at the end (with a smaller ring, early views would
+        # be clobbered by later decodes).
+        from papteam_opticalflow_tpu.data.native_loader import (
+            PrefetchingPairLoader, decode_chw, native_available,
+        )
+        if not native_available():
+            pytest.skip("native loader not built")
+        gen = FramePairGenerator(REF_ROOT)
+        pairs = gen.pairs_from_collection("HoChiMinhTraffic_10FPS_240")[:6]
+        pp = [(p.before.path, p.after.path) for p in pairs]
+        with PrefetchingPairLoader(
+            n_threads=2, depth=7, dtype=np.uint8
+        ) as loader:
+            held = list(loader.iter_pairs(pp))  # hold all views
+            for (pa, pb), (a, b) in zip(pp, held):
+                np.testing.assert_array_equal(
+                    a, decode_chw(pa, dtype=np.uint8)
+                )
+                np.testing.assert_array_equal(
+                    b, decode_chw(pb, dtype=np.uint8)
+                )
+
+    @pytest.mark.skipif(not REF_ROOT.exists(), reason="dataset not mounted")
     def test_u8_decode_is_raw_bytes(self):
         # The serving path decodes straight to uint8 (device-side /255):
         # the bytes must be EXACTLY the decoder's output — i.e. u8/255

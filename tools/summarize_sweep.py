@@ -67,7 +67,13 @@ def main():
 
     summary = {}
     for (coll, levels, batch), rs in sorted(cells.items()):
-        secs = [r["seconds"] for r in rs]
+        # The chronologically FIRST pair of a cell absorbs that config's
+        # jit compile (tens to hundreds of seconds, amortized once per
+        # config per process); steady-state stats exclude it, and it is
+        # reported separately as first_pair_incl_compile.
+        first = rs[0]["seconds"]
+        steady = [r["seconds"] for r in rs[1:]] or [first]
+        secs = steady
         width = WIDTH_OF_COLLECTION.get(coll)
         bkey = f"{width}px_P{levels}"
         serial = base.get("serial", {}).get(bkey)
@@ -80,6 +86,7 @@ def main():
             "max_ms": round(max(secs) * 1e3, 1),
             "mean_ms": round(sum(secs) / len(secs) * 1e3, 1),
             "max_over_p50": round(max(secs) / p50, 2),
+            "first_pair_incl_compile_s": round(first, 1),
             "max_flow_px": round(max(r.get("max_flow", 0.0) for r in rs), 1),
             "timing_mode": rs[0].get("timing_mode"),
             "speedup_vs_serial": round(serial / p50, 1) if serial else None,
