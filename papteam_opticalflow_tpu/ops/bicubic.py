@@ -120,6 +120,7 @@ def _bicubic_pallas_adaptive(ref, stack4, vx, vy):
     from .interp import (
         _PALLAS_MARGIN_BICUBIC,
         _pallas_margins_for,
+        _probe_wide_margin,
         _strip_dy_fields,
     )
     from .pallas.warp import spread_margin_for, warp_bicubic_pallas
@@ -138,9 +139,19 @@ def _bicubic_pallas_adaptive(ref, stack4, vx, vy):
     mn0, spread = _strip_dy_fields(oob, y0, h, w)
     # Column exactness bound of the 5-block decomposition (|x0-j|<=255),
     # independent of the row margin — see interp._warp_pallas_adaptive.
-    # The bicubic window holds 12 planes, so VMEM caps its row margin.
+    # The bicubic window holds 4C planes, so VMEM caps its row margin:
+    # rungs above 64 are probe-compile gated per static config (r5; the
+    # bf16 stencil table typically admits 96/128, full-res f32 may not).
     dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0 - j)))
-    margins = _pallas_margins_for(h, cap=_PALLAS_MARGIN_BICUBIC)
+    margins = tuple(
+        m for m in _pallas_margins_for(h, cap=_PALLAS_MARGIN_BICUBIC)
+        if m <= 64 or _probe_wide_margin(
+            "bicubic",
+            ((ref.shape, ref.dtype), (stack4.shape, stack4.dtype),
+             ((h, w), jnp.float32), ((h, w), jnp.float32)),
+            m,
+        )
+    )
     bucket = sum(
         (spread > spread_margin_for(m)).astype(jnp.int32) for m in margins
     )

@@ -706,9 +706,57 @@ _PALLAS_WARP_MIN_BYTES = 2 * 2**20
 # Margin LADDER: the window up-convert scales with the margin (measured
 # on the recorded oracle flow: 1.70 ms/warp at 64 vs 2.26 at 96 for the
 # L0 bilinear), so the common case runs the tight kernel and only pairs
-# that actually need it pay for the wide one.
-_PALLAS_MARGINS = (64, 96)
-_PALLAS_MARGIN_BICUBIC = 64
+# that actually need it pay for the wide one.  The r5 128 rung exists
+# because real 1920px pairs reach ~205 px flows with within-strip spread
+# beyond spread_margin_for(96) = 200 (moving-object boundaries put both
+# ~0 and ~205 px displacements inside one 32-row strip) — the r5 grid's
+# one 525 ms outlier was exactly such a pair on the serial fallback.
+# Wide rungs (> 96) sit near the VMEM ceiling at full-res shapes, so
+# they are probe-compile gated per static config (_probe_wide_margin).
+_PALLAS_MARGINS = (64, 96, 128)
+_PALLAS_MARGIN_BICUBIC = 128
+
+
+_WIDE_MARGIN_PROBES: dict = {}
+
+
+def _probe_wide_margin(kind: str, shapes, margin: int) -> bool:
+    """AOT-compile gate for wide (> 96 px) warp-window rungs (same
+    pattern as ``models/solver._probe_fused_level``): their window DMA
+    buffers approach the VMEM ceiling at full-resolution shapes and
+    Mosaic admission is toolchain-calibrated, so the first use of a
+    static config compiles the kernel outside the enclosing jit and the
+    rung is silently dropped from the ladder on rejection.
+
+    ``shapes``: tuple of ``(shape, dtype)`` pairs matching the kernel's
+    array arguments minus ``margin``/``dymin``."""
+    from .pallas import warp as pw
+
+    if pw._INTERPRET:
+        return True
+    key = (kind, tuple((s, jnp.dtype(d).str) for s, d in shapes), margin)
+    hit = _WIDE_MARGIN_PROBES.get(key)
+    if hit is not None:
+        return hit
+    try:
+        h = shapes[0][0][-2]
+        ns = -(-h // pw.TB)
+        avals = [jax.ShapeDtypeStruct(s, d) for s, d in shapes]
+        mn = jax.ShapeDtypeStruct((ns,), jnp.int32)
+        if kind == "bilinear":
+            fn = lambda a, b, x, y, m0: pw.warp_bilinear_pallas(  # noqa: E731
+                a, b, x, y, margin=margin, dymin=m0
+            )
+        else:
+            fn = lambda r, s4, x, y, m0: pw.warp_bicubic_pallas(  # noqa: E731
+                r, s4, x, y, margin=margin, dymin=m0
+            )
+        jax.jit(fn).lower(*avals, mn).compile()
+        ok = True
+    except Exception:  # noqa: BLE001
+        ok = False
+    _WIDE_MARGIN_PROBES[key] = ok
+    return ok
 
 
 def _pallas_margins_for(h: int, cap: int | None = None):
@@ -805,7 +853,15 @@ def _warp_pallas_adaptive(im1, im2, vx, vy):
     # horizontal integer displacements within two blocks (|x0 - j| <=
     # 255) — independent of the row margin.
     dx = jnp.max(jnp.where(oob, zero, jnp.abs(x0 - j)))
-    margins = _pallas_margins_for(h)
+    margins = tuple(
+        m for m in _pallas_margins_for(h)
+        if m <= 96 or _probe_wide_margin(
+            "bilinear",
+            ((im1.shape, im1.dtype), (im2.shape, im2.dtype),
+             ((h, w), jnp.float32), ((h, w), jnp.float32)),
+            m,
+        )
+    )
     bucket = sum(
         (spread > spread_margin_for(m)).astype(jnp.int32) for m in margins
     )
